@@ -1,0 +1,451 @@
+"""Pure-Python PDF content-stream tokenizer (stdlib only).
+
+Turns raw PDF bytes into an ordered list of spans
+``(kind, text, media_ref, x0, y0, x1, y1, size)`` for **page 0 only** —
+mirroring the reference's parse stage (`/root/reference/extractor.py:93-144`,
+which uses PyMuPDF ``page.get_text``; PyMuPDF is not available at cluster
+scale, so this is a from-scratch reimplementation of the subset of the PDF
+imaging model the corpus needs).
+
+Supported (validated against all six reference fixtures plus synthetic
+corpora): FlateDecode streams, literal strings with octal/char escapes,
+WinAnsi/Latin-1 text, ``BT/ET``, ``Tf``, ``Tm/Td/TD/T*/TL``, ``Tj/TJ/'/"``,
+graphics-state stack ``q/Q/cm``, and ``/Name Do`` for image XObjects.
+Unsupported constructs degrade gracefully (span list may be partial; never
+raises).
+
+This module is deliberately free of any Spark import so it can run inside
+Arrow ``pandas_udf`` batches (see :mod:`pdf_extractor_spark.pdf.udf`) and in
+plain unit tests.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Any, Dict, List, Optional, Tuple
+
+__all__ = ["tokenize_pdf", "PdfSpan"]
+
+# --- Helvetica metrics (public Adobe AFM data, units/1000) ----------------
+# Used to estimate text-run bounding boxes; the reference gets exact rects
+# from PyMuPDF. Only relative accuracy matters (anchor windows have ±2..300pt
+# tolerances, extractor.py:215-268).
+_HELV_WIDTHS = {
+    " ": 278, "!": 278, '"': 355, "#": 556, "$": 556, "%": 889, "&": 667,
+    "'": 191, "(": 333, ")": 333, "*": 389, "+": 584, ",": 278, "-": 333,
+    ".": 278, "/": 278, "0": 556, "1": 556, "2": 556, "3": 556, "4": 556,
+    "5": 556, "6": 556, "7": 556, "8": 556, "9": 556, ":": 278, ";": 278,
+    "<": 584, "=": 584, ">": 584, "?": 556, "@": 1015, "A": 667, "B": 667,
+    "C": 722, "D": 722, "E": 667, "F": 611, "G": 778, "H": 722, "I": 278,
+    "J": 500, "K": 667, "L": 556, "M": 833, "N": 722, "O": 778, "P": 667,
+    "Q": 778, "R": 722, "S": 667, "T": 611, "U": 722, "V": 667, "W": 944,
+    "X": 667, "Y": 667, "Z": 611, "[": 278, "\\": 278, "]": 278, "^": 469,
+    "_": 556, "`": 333, "a": 556, "b": 556, "c": 500, "d": 556, "e": 556,
+    "f": 278, "g": 556, "h": 556, "i": 222, "j": 222, "k": 500, "l": 222,
+    "m": 833, "n": 556, "o": 556, "p": 556, "q": 556, "r": 333, "s": 500,
+    "t": 278, "u": 556, "v": 500, "w": 722, "x": 500, "y": 500, "z": 500,
+    "{": 334, "|": 260, "}": 334, "~": 584,
+}
+_DEFAULT_WIDTH = 556
+
+
+def _text_width(text: str, size: float) -> float:
+    units = sum(_HELV_WIDTHS.get(ch, _DEFAULT_WIDTH) for ch in text)
+    return units * size / 1000.0
+
+
+PdfSpan = Dict[str, Any]  # kind, text, media_ref, x0, y0, x1, y1, size
+
+
+# --- low-level object scan -------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_RE = re.compile(rb"stream\r?\n")
+
+
+def _scan_objects(data: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
+    """Scan ``N G obj ... endobj`` bodies → {num: (dict_bytes, stream_bytes)}.
+
+    Robust to missing/compressed xref tables (we never read the xref); object
+    streams (``/Type/ObjStm``) are not expanded — documents relying on them
+    simply yield fewer objects and the caller degrades gracefully.
+    """
+    objects: Dict[int, Tuple[bytes, Optional[bytes]]] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        start = m.end()
+        endobj = data.find(b"endobj", start)
+        if endobj < 0:
+            endobj = len(data)
+        body = data[start:endobj]
+        sm = _STREAM_RE.search(body)
+        if sm:
+            dict_bytes = body[: sm.start()]
+            sstart = sm.end()
+            send = body.find(b"endstream", sstart)
+            if send < 0:
+                send = len(body)
+            stream = body[sstart:send]
+            # strip the optional trailing EOL before 'endstream'
+            if stream.endswith(b"\r\n"):
+                stream = stream[:-2]
+            elif stream.endswith(b"\n") or stream.endswith(b"\r"):
+                stream = stream[:-1]
+            objects[num] = (dict_bytes, stream)
+        else:
+            objects[num] = (body, None)
+    return objects
+
+
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+
+
+def _dict_value(dict_bytes: bytes, key: bytes) -> Optional[bytes]:
+    """Extract the raw value following ``/key`` in a (flat) dict body."""
+    idx = dict_bytes.find(b"/" + key)
+    if idx < 0:
+        return None
+    rest = dict_bytes[idx + len(key) + 1 :]
+    return rest
+
+
+def _resolve_ref(raw: bytes) -> Optional[int]:
+    m = _REF_RE.match(raw.lstrip())
+    return int(m.group(1)) if m else None
+
+
+def _decode_stream(dict_bytes: bytes, stream: bytes) -> Optional[bytes]:
+    if b"/FlateDecode" in dict_bytes:
+        try:
+            return zlib.decompress(stream)
+        except zlib.error:
+            try:  # tolerate truncated trailing checksum
+                return zlib.decompressobj().decompress(stream)
+            except zlib.error:
+                return None
+    if b"/Filter" not in dict_bytes:
+        return stream
+    return None  # unsupported filter → graceful skip
+
+
+# --- string decoding -------------------------------------------------------
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08", b"f": b"\x0c",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    """Decode a literal PDF string body (inside parens): escapes + WinAnsi."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < n:
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal, up to 3 digits
+                j = i + 1
+                digits = b""
+                while j < n and len(digits) < 3 and raw[j : j + 1].isdigit():
+                    digits += raw[j : j + 1]
+                    j += 1
+                out.append(int(digits, 8) & 0xFF)
+                i = j
+                continue
+            if nxt in (b"\n", b"\r"):  # line continuation
+                i += 2
+                if nxt == b"\r" and raw[i : i + 1] == b"\n":
+                    i += 1
+                continue
+            out += nxt
+            i += 2
+            continue
+        out += c
+        i += 1
+    try:
+        return out.decode("cp1252")  # WinAnsiEncoding
+    except UnicodeDecodeError:
+        return out.decode("latin-1")
+
+
+# --- content-stream tokenizer ----------------------------------------------
+
+_TOKEN_RE = re.compile(
+    rb"""
+    (?P<str>\((?:\\.|[^\\()])*\))      # literal string (no nested parens)
+  | (?P<hexstr><[0-9A-Fa-f\s]*>)      # hex string
+  | (?P<name>/[^\s/\[\]<>()]+)        # name
+  | (?P<num>[-+]?\d*\.?\d+)           # number
+  | (?P<arr>[\[\]])                   # array delimiters
+  | (?P<op>[A-Za-z'"][A-Za-z0-9*'"]*) # operator
+    """,
+    re.VERBOSE,
+)
+
+
+def _mat_mul(a, b):
+    """3x2 PDF matrix multiply: a × b (each = (a,b,c,d,e,f))."""
+    a0, a1, a2, a3, a4, a5 = a
+    b0, b1, b2, b3, b4, b5 = b
+    return (
+        a0 * b0 + a1 * b2,
+        a0 * b1 + a1 * b3,
+        a2 * b0 + a3 * b2,
+        a2 * b1 + a3 * b3,
+        a4 * b0 + a5 * b2 + b4,
+        a4 * b1 + a5 * b3 + b5,
+    )
+
+
+_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _run_content(content: bytes, image_xobjects: Dict[str, Tuple[float, float]]) -> List[PdfSpan]:
+    """Interpret a page content stream → raw spans (document order)."""
+    spans: List[PdfSpan] = []
+    ctm = _IDENTITY
+    gs_stack: List[Tuple[float, ...]] = []
+    tm = _IDENTITY
+    tlm = _IDENTITY
+    leading = 0.0
+    font_size = 0.0
+    in_text = False
+    stack: List[Any] = []  # operand stack (numbers, strings, names, arrays)
+    arr_stack: List[List[Any]] = []
+
+    def emit_text(parts: List[str]) -> None:
+        text = "".join(parts)
+        if not text:
+            return
+        # device-space origin of the text run
+        m = _mat_mul(tm, ctm)
+        if m[1] != 0.0 or m[2] != 0.0 or m[0] <= 0.0 or m[3] <= 0.0:
+            # rotated/mirrored run (e.g. watermark glyphs) — not part of the
+            # upright reading-order text layer (FIXTURES.md §4 golden contract)
+            return
+        x, y = m[4], m[5]
+        eff_size = font_size * abs(m[3]) if m[3] else font_size
+        w = _text_width(text, eff_size or font_size)
+        spans.append(
+            {
+                "kind": "text",
+                "text": text,
+                "media_ref": None,
+                "x0": x,
+                "y0": y,
+                "x1": x + w,
+                "y1": y + (eff_size or font_size),
+                "size": eff_size or font_size,
+            }
+        )
+
+    def string_parts(tok: Any) -> List[str]:
+        if isinstance(tok, str):
+            return [tok]
+        if isinstance(tok, list):  # TJ array: strings + kern numbers
+            return [t for t in tok if isinstance(t, str)]
+        return []
+
+    for m in _TOKEN_RE.finditer(content):
+        kind = m.lastgroup
+        tok = m.group(0)
+        if kind == "str":
+            val: Any = _decode_pdf_string(tok[1:-1])
+            (arr_stack[-1] if arr_stack else stack).append(val)
+        elif kind == "hexstr":
+            hexdigits = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hexdigits) % 2:
+                hexdigits += b"0"
+            try:
+                val = bytes.fromhex(hexdigits.decode("ascii")).decode("cp1252", "replace")
+            except ValueError:
+                val = ""
+            (arr_stack[-1] if arr_stack else stack).append(val)
+        elif kind == "name":
+            (arr_stack[-1] if arr_stack else stack).append(tok.decode("latin-1"))
+        elif kind == "num":
+            (arr_stack[-1] if arr_stack else stack).append(float(tok))
+        elif kind == "arr":
+            if tok == b"[":
+                arr_stack.append([])
+            else:
+                arr = arr_stack.pop() if arr_stack else []
+                (arr_stack[-1] if arr_stack else stack).append(arr)
+        else:  # operator
+            op = tok.decode("latin-1")
+            try:
+                if op == "q":
+                    gs_stack.append(ctm)
+                elif op == "Q":
+                    ctm = gs_stack.pop() if gs_stack else _IDENTITY
+                elif op == "cm" and len(stack) >= 6:
+                    mat = tuple(stack[-6:])
+                    ctm = _mat_mul(mat, ctm)
+                elif op == "BT":
+                    in_text = True
+                    tm = tlm = _IDENTITY
+                elif op == "ET":
+                    in_text = False
+                elif op == "Tf" and len(stack) >= 2:
+                    font_size = float(stack[-1])
+                elif op == "TL" and stack:
+                    leading = float(stack[-1])
+                elif op == "Tm" and len(stack) >= 6:
+                    tm = tlm = tuple(stack[-6:])
+                elif op == "Td" and len(stack) >= 2:
+                    tlm = _mat_mul((1, 0, 0, 1, stack[-2], stack[-1]), tlm)
+                    tm = tlm
+                elif op == "TD" and len(stack) >= 2:
+                    leading = -float(stack[-1])
+                    tlm = _mat_mul((1, 0, 0, 1, stack[-2], stack[-1]), tlm)
+                    tm = tlm
+                elif op == "T*":
+                    tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
+                    tm = tlm
+                elif op == "Tj" and stack and in_text:
+                    emit_text(string_parts(stack[-1]))
+                elif op == "TJ" and stack and in_text:
+                    emit_text(string_parts(stack[-1]))
+                elif op == "'" and stack and in_text:
+                    tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
+                    tm = tlm
+                    emit_text(string_parts(stack[-1]))
+                elif op == '"' and len(stack) >= 3 and in_text:
+                    tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
+                    tm = tlm
+                    emit_text(string_parts(stack[-1]))
+                elif op == "Do" and stack:
+                    name = stack[-1]
+                    if isinstance(name, str) and name.startswith("/"):
+                        ref = name[1:]
+                        if ref in image_xobjects:
+                            # image unit square → CTM: position (e,f), size (a,d)
+                            x, y = ctm[4], ctm[5]
+                            w, h = abs(ctm[0]), abs(ctm[3])
+                            spans.append(
+                                {
+                                    "kind": "media",
+                                    "text": None,
+                                    "media_ref": ref,
+                                    "x0": x,
+                                    "y0": y,
+                                    "x1": x + w,
+                                    "y1": y + h,
+                                    "size": 0.0,
+                                }
+                            )
+            except (ValueError, TypeError, IndexError):
+                pass  # malformed operand run — skip op, keep scanning
+            stack.clear()
+            arr_stack.clear()
+    return spans
+
+
+# --- top-level --------------------------------------------------------------
+
+
+def _first_page(objects: Dict[int, Tuple[bytes, Optional[bytes]]]) -> Optional[int]:
+    """Resolve page 0: Catalog→Pages→Kids[0]; fallback to first /Type/Page."""
+    root = None
+    for num, (d, _) in objects.items():
+        if b"/Type/Catalog" in re.sub(rb"\s+", b"", d):
+            root = num
+            break
+    if root is not None:
+        pages_raw = _dict_value(objects[root][0], b"Pages")
+        pages = _resolve_ref(pages_raw) if pages_raw else None
+        if pages in objects:
+            kids_raw = _dict_value(objects[pages][0], b"Kids")
+            if kids_raw:
+                m = _REF_RE.search(kids_raw)
+                if m:
+                    kid = int(m.group(1))
+                    if kid in objects:
+                        return kid
+    for num, (d, _) in objects.items():
+        if b"/Type/Page" in re.sub(rb"\s+", b"", d) and b"/Type/Pages" not in re.sub(rb"\s+", b"", d):
+            return num
+    return None
+
+
+def _media_box(page_dict: bytes, objects) -> Tuple[float, float]:
+    raw = _dict_value(page_dict, b"MediaBox")
+    if raw is None:
+        raw = b"[0 0 612 792]"
+    nums = [float(x) for x in _NUM_RE.findall(raw[: raw.find(b"]") + 1 or 64])[:4]]
+    if len(nums) == 4:
+        return nums[2] - nums[0], nums[3] - nums[1]
+    return 612.0, 792.0
+
+
+def _image_xobjects(page_dict: bytes, objects) -> Dict[str, Tuple[float, float]]:
+    """Map XObject name → (Width, Height) for /Subtype/Image resources."""
+    out: Dict[str, Tuple[float, float]] = {}
+    xo_raw = _dict_value(page_dict, b"XObject")
+    if xo_raw is None:
+        return out
+    # names and refs inside the XObject subdict: /Name N 0 R
+    for m in re.finditer(rb"/([^\s/\[\]<>()]+)\s+(\d+)\s+\d+\s+R", xo_raw[:2000]):
+        name = m.group(1).decode("latin-1")
+        ref = int(m.group(2))
+        if ref in objects:
+            d = objects[ref][0]
+            if b"/Image" in d:
+                wraw = _dict_value(d, b"Width")
+                hraw = _dict_value(d, b"Height")
+                w = float(_NUM_RE.match(wraw.lstrip()).group(0)) if wraw else 0.0
+                h = float(_NUM_RE.match(hraw.lstrip()).group(0)) if hraw else 0.0
+                out[name] = (w, h)
+    return out
+
+
+def _page_content(page_dict: bytes, objects) -> bytes:
+    raw = _dict_value(page_dict, b"Contents")
+    if raw is None:
+        return b""
+    parts: List[bytes] = []
+    # Contents may be one ref or an array of refs; collect in order.
+    head = raw[: raw.find(b"/") if raw.find(b"/") > 0 else 256]
+    for m in _REF_RE.finditer(head):
+        ref = int(m.group(1))
+        if ref in objects and objects[ref][1] is not None:
+            dec = _decode_stream(objects[ref][0], objects[ref][1])
+            if dec:
+                parts.append(dec)
+        if raw.lstrip()[:1] != b"[":  # single ref → stop after first
+            break
+    return b"\n".join(parts)
+
+
+def tokenize_pdf(data: bytes) -> Dict[str, Any]:
+    """bytes → {'page_width', 'page_height', 'spans': [PdfSpan, ...]}.
+
+    Spans are in content-stream order; reading-order sort + offsets are a
+    separate (Spark-side) stage — see :mod:`pdf_extractor_spark.assemble`.
+    Never raises; unparseable inputs yield an empty span list.
+    """
+    empty = {"page_width": 0.0, "page_height": 0.0, "spans": []}
+    if not data or not data.startswith(b"%PDF"):
+        return empty
+    try:
+        objects = _scan_objects(data)
+        page = _first_page(objects)
+        if page is None:
+            return empty
+        page_dict = objects[page][0]
+        pw, ph = _media_box(page_dict, objects)
+        images = _image_xobjects(page_dict, objects)
+        content = _page_content(page_dict, objects)
+        if not content:
+            return {"page_width": pw, "page_height": ph, "spans": []}
+        spans = _run_content(content, images)
+        return {"page_width": pw, "page_height": ph, "spans": spans}
+    except Exception:
+        return empty
