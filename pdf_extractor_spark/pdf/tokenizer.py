@@ -48,6 +48,8 @@ _HELV_WIDTHS = {
     "{": 334, "|": 260, "}": 334, "~": 584,
 }
 _DEFAULT_WIDTH = 556
+ASCENDER = 0.8  # em above baseline (base-14 Helvetica)
+DESCENDER = 0.2  # em below baseline
 
 
 def _text_width(text: str, size: float) -> float:
@@ -232,7 +234,11 @@ def _run_content(content: bytes, image_xobjects: Dict[str, Tuple[float, float]])
             return
         x, y = m[4], m[5]
         eff_size = font_size * abs(m[3]) if m[3] else font_size
-        w = _text_width(text, eff_size or font_size)
+        sz = eff_size or font_size
+        w = _text_width(text, sz)
+        # y0 is the Tm baseline (the reading-order sort key, FIXTURES.md §4);
+        # y1 = baseline + ascender (0.8 em, base-14 Helvetica). The kernel
+        # adds the 0.2 em descender when building device-space glyph boxes.
         spans.append(
             {
                 "kind": "text",
@@ -241,8 +247,8 @@ def _run_content(content: bytes, image_xobjects: Dict[str, Tuple[float, float]])
                 "x0": x,
                 "y0": y,
                 "x1": x + w,
-                "y1": y + (eff_size or font_size),
-                "size": eff_size or font_size,
+                "y1": y + ASCENDER * sz,
+                "size": sz,
             }
         )
 
