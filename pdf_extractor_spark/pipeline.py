@@ -124,8 +124,22 @@ def fanout_results(all_docs: DataFrame, distinct_results: DataFrame) -> DataFram
 
 
 def tokenize_stage(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """S1: Arrow tokenizer kernel + reading-order assembly."""
-    tok = df.withColumn("_tok", tokenize_pdf_udf(F.col(content_col)))
+    """S1: Arrow tokenizer kernel + reading-order assembly.
+
+    Dispatches PDF vs HTML by magic bytes (``%PDF``) — content_type metadata
+    may lie at web scale. Both kernels emit the same tokenized struct; HTML
+    document order is pre-encoded in y0 so one assembly stage serves both."""
+    from pdf_extractor_spark.html.boilerplate import tokenize_html_udf
+
+    is_pdf = F.startswith(
+        F.col(content_col).cast("string"), F.lit("%PDF")
+    )
+    tok = df.withColumn(
+        "_tok",
+        F.when(is_pdf, tokenize_pdf_udf(F.col(content_col))).otherwise(
+            tokenize_html_udf(F.col(content_col))
+        ),
+    )
     ordered = tok.withColumn("ordered_spans", assemble.ordered_spans(F.col("_tok.spans")))
     return (
         ordered.withColumn("page_width", F.col("_tok.page_width"))

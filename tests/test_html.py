@@ -1,0 +1,77 @@
+"""HTML boilerplate-stripping tests (north_rule capability)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.html.boilerplate import tokenize_html
+
+PAGE = b"""<!doctype html>
+<html><head><title>T</title><style>.x{color:red}</style>
+<script>var x = 1;</script></head>
+<body>
+<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/b">More</a></nav>
+<div class="content">
+  <h1>A Real Article Headline Here</h1>
+  <p>This is the first paragraph of the main content. It has plenty of
+  words and a healthy text density, which marks it as content rather than
+  boilerplate according to shallow text features.</p>
+  <img src="figure1.png">
+  <p>Second paragraph continues the discussion with more prose and enough
+  length to be kept by the densitometric classifier as well.</p>
+</div>
+<aside>Related: <a href="/x">link one</a> <a href="/y">link two</a></aside>
+<footer>Copyright 2020 Example Corp. All rights reserved.</footer>
+</body></html>"""
+
+
+def test_boilerplate_stripping():
+    spans = tokenize_html(PAGE)["spans"]
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    joined = " ".join(texts)
+    assert any("first paragraph of the main content" in t for t in texts)
+    assert any("Second paragraph continues" in t for t in texts)
+    # nav links, aside, footer, script, style are stripped
+    assert "Home" not in joined
+    assert "Related" not in joined
+    assert "Copyright" not in joined
+    assert "var x" not in joined
+    media = [s for s in spans if s["kind"] == "media"]
+    assert [m["media_ref"] for m in media] == ["figure1.png"]
+
+
+def test_document_order_preserved():
+    spans = tokenize_html(PAGE)["spans"]
+    ordered = sorted(spans, key=lambda s: (-s["y0"], s["x0"]))
+    kinds = [(s["kind"], (s["text"] or s["media_ref"])[:10]) for s in ordered]
+    # headline, para1, image, para2 in document order
+    assert kinds[0] == ("text", "A Real Art")
+    assert kinds[1][1].startswith("This is th")
+    assert kinds[2] == ("media", "figure1.pn")
+    assert kinds[3][1].startswith("Second par")
+
+
+def test_garbage_html():
+    assert tokenize_html(None)["spans"] == []
+    # binary garbage must not raise; whatever survives is a valid span struct
+    for s in tokenize_html(b"\xff\xfe garbage <<<")["spans"]:
+        assert s["kind"] in ("text", "media")
+    assert tokenize_html(b"<p>" + b"word " * 20)["spans"][0]["kind"] == "text"
+
+
+def test_mixed_pipeline_dispatch(spark):
+    """PDF and HTML docs flow through one tokenize_stage, one span contract."""
+    from pdf_extractor_spark.pipeline import tokenize_stage
+    from pdf_extractor_spark.schema import RAW_DOC_SCHEMA
+
+    pdf_bytes = open("/root/reference/meus_pdfs/oab_1.pdf", "rb").read()
+    rows = [
+        ("d_pdf", bytearray(pdf_bytes), "application/pdf", "l", {}, len(pdf_bytes)),
+        ("d_html", bytearray(PAGE), "text/html", "l", {}, len(PAGE)),
+    ]
+    df = spark.createDataFrame(rows, RAW_DOC_SCHEMA)
+    out = {r["doc_id"]: r for r in tokenize_stage(df).select("doc_id", "spans").collect()}
+    assert len(out["d_pdf"]["spans"]) == 15
+    html_spans = out["d_html"]["spans"]
+    assert [s["offset"] for s in html_spans] == list(range(len(html_spans)))
+    assert any(s["kind"] == "media" for s in html_spans)
