@@ -1,38 +1,64 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship span+quality pipeline on sf0.001;
+``queries``/``oracle_sql`` expose every implemented operator from
+SURVEY.md §2 plus the training-data pipeline ops, each with a DuckDB oracle
+where SQL-expressible (see pdf_extractor_spark/queries.py and
+pipeline_queries.py — the registry keeps each Spark/SQL pair side by side).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pdf_extractor_spark.queries as _q  # noqa: E402
+import pdf_extractor_spark.pipeline_queries  # noqa: F401,E402  (registers)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → sentence spans (input_hint shape) → per-language
+    corpus summary with quality + exact-dedup stats."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    spans = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("text_hash"),
+        F.filter(
+            F.transform(
+                F.split("text", r"\. "),
+                lambda s, i: F.struct(
+                    F.lit("text").alias("kind"),
+                    s.alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    i.cast("int").alias("offset"),
+                ),
+            ),
+            lambda st: F.length(st["text"]) > 0,
+        ).alias("spans"),
+    )
+    return (
+        spans.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("text_hash").alias("n_distinct_docs"),
+            F.sum(F.size("spans")).alias("n_spans"),
+            F.round(F.avg(F.size("spans")), 4).alias("avg_spans_per_doc"),
+        )
+        .orderBy("lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.all_oracles()

@@ -1,0 +1,465 @@
+"""Training-data pipeline operators: dedup, similarity search, text analysis,
+multimodal plumbing — registered into the same query/oracle registry as the
+relational operators (see queries.py).
+
+These are the ops a 100 TB pretraining-data pipeline runs between ingestion
+and training: exact + near dedup, embedding ANN, quality/language scoring,
+token counting, fingerprinting. Hash primitives are md5-based so the DuckDB
+oracles compute bit-identical values."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_extractor_spark.queries import register, register_rows_only, t
+
+# md5-derived 32-bit unsigned int — identical in Spark and DuckDB.
+def _h32(col):  # Spark side
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _h32_sql(expr: str) -> str:  # DuckDB side
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS representative
+       FROM documents GROUP BY md5(text)""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keep representative (the reference's
+    pdf_cache semantics, extractor.py:883-886). One shuffle on the hash; at
+    100 TB this is the canonical compute-once pattern."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("representative"))
+    )
+
+
+@register(
+    "dedup_minhash_signature",
+    f"""WITH words AS (
+          SELECT d.doc_id, u.word FROM documents d,
+               unnest(list_distinct(string_split(lower(d.text), ' '))) u(word)
+          WHERE u.word <> ''
+        )
+        SELECT doc_id,
+               min({_h32_sql("'1' || word")}) AS mh_1,
+               min({_h32_sql("'2' || word")}) AS mh_2,
+               min({_h32_sql("'3' || word")}) AS mh_3,
+               min({_h32_sql("'4' || word")}) AS mh_4,
+               min({_h32_sql("'5' || word")}) AS mh_5,
+               min({_h32_sql("'6' || word")}) AS mh_6,
+               min({_h32_sql("'7' || word")}) AS mh_7,
+               min({_h32_sql("'8' || word")}) AS mh_8
+        FROM words GROUP BY doc_id""",
+)
+def dedup_minhash_signature(spark, sf_dir):
+    """MinHash signatures (k=8, salted md5 permutation approximation):
+    shingle→minhash. Explode + grouped min — partial agg makes the shuffle
+    carry only (doc, 8×int) rows regardless of document size."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    aggs = [
+        F.min(_h32(F.concat(F.lit(str(i)), F.col("word")))).alias(f"mh_{i}")
+        for i in range(1, 9)
+    ]
+    return words.groupBy("doc_id").agg(*aggs)
+
+
+@register(
+    "dedup_minhash_bands",
+    f"""WITH words AS (
+          SELECT d.doc_id, u.word FROM documents d,
+               unnest(list_distinct(string_split(lower(d.text), ' '))) u(word)
+          WHERE u.word <> ''
+        ), sigs AS (
+          SELECT doc_id,
+                 min({_h32_sql("'1' || word")}) AS mh_1,
+                 min({_h32_sql("'2' || word")}) AS mh_2,
+                 min({_h32_sql("'3' || word")}) AS mh_3,
+                 min({_h32_sql("'4' || word")}) AS mh_4
+          FROM words GROUP BY doc_id
+        ), bands AS (
+          SELECT doc_id, md5(mh_1::VARCHAR || '_' || mh_2::VARCHAR) AS band
+          FROM sigs
+          UNION ALL
+          SELECT doc_id, md5(mh_3::VARCHAR || '_' || mh_4::VARCHAR) AS band
+          FROM sigs
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id""",
+)
+def dedup_minhash_bands(spark, sf_dir):
+    """MinHash LSH banding: signature → bands → bucket join → candidate
+    pairs. The band join is the scale path: candidates ≪ n², never n×n."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    sigs = words.groupBy("doc_id").agg(
+        *[
+            F.min(_h32(F.concat(F.lit(str(i)), F.col("word")))).alias(f"mh_{i}")
+            for i in range(1, 5)
+        ]
+    )
+    band1 = sigs.select(
+        "doc_id",
+        F.md5(F.concat_ws("_", F.col("mh_1").cast("string"), F.col("mh_2").cast("string"))).alias("band"),
+    )
+    band2 = sigs.select(
+        "doc_id",
+        F.md5(F.concat_ws("_", F.col("mh_3").cast("string"), F.col("mh_4").cast("string"))).alias("band"),
+    )
+    bands = band1.unionByName(band2)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+        .select("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""WITH words AS (
+          SELECT d.doc_id, {_h32_sql("u.word")} AS h FROM documents d,
+               unnest(string_split(lower(d.text), ' ')) u(word)
+          WHERE u.word <> ''
+        )
+        SELECT doc_id,
+          {" + ".join(f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))}
+          AS simhash16
+        FROM words GROUP BY doc_id""",
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash (16-bit): per-word md5 hash, per-bit signed vote, sign →
+    fingerprint bit. Pure grouped aggregation — no pairwise work until
+    fingerprints are compared by Hamming distance."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    h = _h32(F.col("word")).alias("h")
+    words = words.select("doc_id", h)
+    bit_terms = None
+    for b in range(16):
+        vote = F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        )
+        term = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bit_terms = term if bit_terms is None else (bit_terms + term)
+    return words.groupBy("doc_id").agg(bit_terms.alias("simhash16"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """WITH tokens AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
+                generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+         FROM documents
+       ), seq AS (
+         SELECT doc_id, word, pos FROM tokens WHERE word <> ''
+       ), grams AS (
+         SELECT DISTINCT doc_id,
+                word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS gram
+         FROM seq
+         QUALIFY lead(word) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+       ), sizes AS (
+         SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+       ), common AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+       )
+       SELECT doc_a, doc_b,
+              round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+       FROM common JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+       WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup: distinct word bigrams per doc, inverted-index
+    join on gram (never a cross join), Jaccard from common/total counts."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("p", "word")
+    ).where(F.col("word") != "")
+    wspec = Window.partitionBy("doc_id").orderBy("p")
+    grams = (
+        words.select(
+            "doc_id",
+            F.concat_ws(" ", "word", F.lead("word").over(wspec)).alias("gram"),
+            F.lead("word").over(wspec).alias("_nxt"),
+        )
+        .where(F.col("_nxt").isNotNull())
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    common = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("jaccard", F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c")))
+        .where(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_cosine_pairs",
+    """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              round(list_cosine_similarity(q.embedding, e.embedding), 3) AS cos
+       FROM embeddings q JOIN embeddings e ON q.vec_id < e.vec_id
+       WHERE q.vec_id < 10
+         AND list_cosine_similarity(q.embedding, e.embedding) > 0.3""",
+)
+def sim_cosine_pairs(spark, sf_dir):
+    """Brute-force cosine similarity (baseline ANN path): JVM-side
+    zip_with/aggregate dot product — no Python in the loop. The 10-query side
+    is broadcast; at scale the query set is always the broadcast side."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = e.join(F.broadcast(q), F.col("query_id") < F.col("vec_id"))
+    dot = F.aggregate(
+        F.zip_with("q_emb", "embedding", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm(F.col("q_emb")) * norm(F.col("embedding")))
+    return (
+        joined.withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") > 0.3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_raw", 3).alias("cos"),
+        )
+    )
+
+
+@register_rows_only("sim_ann_lsh_topk")
+def sim_ann_lsh_topk(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH buckets (the scale path):
+    md5-seeded deterministic hyperplanes, 8-bit bucket code, candidates only
+    within bucket, exact cosine re-rank top-3. Approximate ⇒ rows-only check
+    (pytest asserts recall vs brute force on a sample)."""
+    e = t(spark, sf_dir, "embeddings")
+    dim_df = e.limit(1).select(F.size("embedding").alias("d")).collect()
+    dim = dim_df[0]["d"] if dim_df else 0
+    # deterministic pseudo-random hyperplanes from md5 of (plane, coord)
+    def plane(p: int):
+        comps = [
+            (F.conv(F.substring(F.md5(F.lit(f"{p}_{i}")), 1, 8), 16, 10).cast("double") / F.lit(2**31) - 1.0)
+            for i in range(dim)
+        ]
+        return F.array(*comps)
+
+    code = None
+    for p in range(8):
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), plane(p), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        code = bit if code is None else (code + bit)
+    coded = e.withColumn("bucket", code)
+    q = coded.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = coded.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("query_id") != F.col("vec_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "embedding", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    scored = cand.withColumn("cos", dot / (norm(F.col("q_emb")) * norm(F.col("embedding"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.round("cos", 3).alias("cos"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_EN_STOP = "(the|of|and|to|in|a|is|that|it|for|was|on|are|as|with)"
+_PT_STOP = "(de|a|o|que|e|do|da|em|um|para|com|não|uma|os|no)"
+
+
+@register(
+    "text_quality",
+    f"""SELECT doc_id,
+        len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+        round(len(regexp_extract_all(lower(text), '\\b{_EN_STOP}\\b')) * 1.0
+              / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1), 4)
+          AS stopword_ratio,
+        round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+              / greatest(length(text), 1), 4) AS punct_density
+        FROM documents""",
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: word count, stopword ratio, punctuation density —
+    all regexp_extract_all counts, fully vectorized JVM-side."""
+    d = t(spark, sf_dir, "documents")
+    n_words = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), 0))
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(rf"\b{_EN_STOP}\b"), 0)
+    )
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), 0))
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(n_stop / F.greatest(n_words, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 4).alias(
+            "punct_density"
+        ),
+    )
+
+
+@register(
+    "text_langid",
+    f"""SELECT doc_id, lang,
+        CASE WHEN len(regexp_extract_all(lower(text), '\\b{_EN_STOP}\\b'))
+                  >= len(regexp_extract_all(lower(text), '\\b{_PT_STOP}\\b'))
+             THEN 'en' ELSE 'pt' END AS pred_lang
+        FROM documents""",
+)
+def text_langid(spark, sf_dir):
+    """Language ID: stopword-hit heuristic (n-gram-free variant; a scale
+    pipeline would extend the stopword banks per language)."""
+    d = t(spark, sf_dir, "documents")
+    en = F.size(F.regexp_extract_all(F.lower("text"), F.lit(rf"\b{_EN_STOP}\b"), 0))
+    pt = F.size(F.regexp_extract_all(F.lower("text"), F.lit(rf"\b{_PT_STOP}\b"), 0))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(en >= pt, "en").otherwise("pt").alias("pred_lang"),
+    )
+
+
+@register(
+    "text_token_count",
+    """SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+       FROM documents""",
+)
+def text_token_count(spark, sf_dir):
+    """Token counting with a BPE-ish pre-tokenizer regex (letters | digits |
+    single punctuation)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+        ).alias("n_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""WITH words AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
+                generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+         FROM documents
+       ), seq AS (
+         SELECT doc_id, {_h32_sql("word")} AS h,
+                row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rpos
+         FROM words WHERE word <> ''
+       )
+       SELECT doc_id, sum(h * rpos) % 2147483647 AS fingerprint
+       FROM seq GROUP BY doc_id""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-sensitive document fingerprint: position-weighted sum of word
+    hashes mod 2^31−1 (a rolling-hash analog that is a pure grouped agg)."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("p", "word")
+    ).where(F.col("word") != "")
+    wspec = Window.partitionBy("doc_id").orderBy("p")
+    words = words.withColumn("pos", F.row_number().over(wspec))
+    return words.groupBy("doc_id").agg(
+        (F.sum(_h32(F.col("word")) * F.col("pos")) % F.lit(2147483647)).alias(
+            "fingerprint"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + typed metadata via mapInPandas)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_decode_metadata",
+    """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+              octet_length(encode(text)) % 64 + 16 AS fake_width,
+              octet_length(encode(text)) % 7 + 1 AS fake_frames
+       FROM documents""",
+)
+def mm_decode_metadata(spark, sf_dir):
+    """Multimodal decode plumbing: an opaque binary column flows through a
+    mapInPandas kernel that emits typed metadata. The decode itself is a
+    deterministic fake (image/audio libs absent — see multimodal.py for the
+    gated real-decoder interface); the Spark-side batch shape, schema and
+    partitioning are real and oracle-checked."""
+    from pdf_extractor_spark.multimodal import decode_metadata
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    return decode_metadata(d, blob_col="blob", id_col="doc_id")
+
+
+__all__ = ["all_queries", "all_oracles"]
