@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs (a) the flagship end-to-end extraction pipeline — deterministic
+synthetic interleaved text+media corpus → tokenize → assemble → spans +
+checkpoint sink — and (b) the headline registry queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1), on
+``local[$SPARK_GRAFT_CPUS]`` (default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+``--cpus N --extract-only`` is the unit the scaling evidence
+(tools/scaling_bench.py → BENCH/BASELINE.md) is built from: the same job at
+two parallelism levels stands in for the N vs 4N executor-cluster rule.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "j1_broadcast_dim_join",
+    "w1_reading_order",
+    "dedup_exact",
+    "dedup_minhash_bands",
+    "sim_cosine_pairs",
+    "text_quality",
+]
+
+CORPUS_DOCS_PER_SF = 100_000  # sf0.1 → 10k synthetic docs
+CORPUS_CACHE = os.environ.get("SPARK_GRAFT_CORPUS_CACHE", "/tmp/spark_graft_corpus")
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_corpus(spark, sf: float, partitions: int, n_docs: int | None = None) -> str:
+    from pdf_extractor_spark.corpus import materialize_corpus
+
+    n_docs = n_docs or max(int(sf * CORPUS_DOCS_PER_SF), 50)
+    path = os.path.join(CORPUS_CACHE, f"n{n_docs}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        # file count is the scan-task granularity (one parquet row group per
+        # file here): ~2k docs per file keeps tasks fat enough to amortize
+        # scheduling but fine enough to load-balance 32 cores
+        files = min(512, max(128, n_docs // 2000))
+        materialize_corpus(spark, n_docs, path, partitions=min(n_docs, files))
+    return path
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, names in os.walk(path):
+        for n in names:
+            total += os.path.getsize(os.path.join(root, n))
+    return total
+
+
+def run_extract(spark, corpus_path: str, partitions: int) -> dict:
+    from pdf_extractor_spark.pipeline import run_extraction_job
+
+    out_dir = tempfile.mkdtemp(prefix="bench_extract_")
+    try:
+        t0 = time.time()
+        stats = run_extraction_job(
+            spark, corpus_path, out_dir, partitions=partitions, resume=False
+        )
+        elapsed = time.time() - t0
+        return {"docs": stats["docs"], "seconds": elapsed,
+                "docs_per_sec": stats["docs"] / elapsed if elapsed else 0.0}
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--extract-only", action="store_true")
+    ap.add_argument(
+        "--n-docs", type=int, default=None,
+        help="override synthetic corpus size (default: sf * 100k)",
+    )
+    args = ap.parse_args()
+
+    from pdf_extractor_spark.pipeline import build_session
+    import pdf_extractor_spark.queries as q
+    import pdf_extractor_spark.pipeline_queries  # noqa: F401  (registers)
+
+    spark = build_session(
+        master=f"local[{args.cpus}]",
+        # 2x cores: finer tasks smooth stragglers from heterogeneous doc
+        # sizes; AQE coalesces the small ones back
+        shuffle_partitions=args.cpus * 2,
+        app_name="bench",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = sf_of(args.sf_dir)
+    partitions = args.cpus * 2
+
+    corpus = ensure_corpus(spark, sf, partitions, n_docs=args.n_docs)
+    # Size scan splits to the corpus: the cluster default of 128 MB splits
+    # would pack a small local corpus into 1-2 partitions and serialize the
+    # map side; aim for ~4 tasks per core, clamped to [4 MB, 128 MB]. (At
+    # 100 TB the input has thousands of natural splits and the default
+    # stands — see SESSION_DEFAULTS.)
+    split = max(4 << 20, min(128 << 20, dir_bytes(corpus) // (args.cpus * 4) or 4 << 20))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    # Warm-up outside any timed section: spins up Arrow python workers and
+    # whole-stage codegen so timings reflect steady state, not JVM cold start.
+    from pdf_extractor_spark.pipeline import extract_spans
+
+    warm = spark.read.parquet(corpus).limit(64)
+    extract_spans(warm, partitions=partitions).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    queries: dict[str, float] = {}
+    ext = run_extract(spark, corpus, partitions)
+    queries["extract_pipeline"] = round(ext["seconds"], 3)
+
+    if not args.extract_only:
+        registry = q.all_queries()
+        for name in HEADLINE:
+            fn = registry.get(name)
+            if fn is None:
+                continue
+            t0 = time.time()
+            fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+            queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "end-to-end extraction + headline query seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": args.cpus,
+        "extract_docs": ext["docs"],
+        "docs_per_sec": round(ext["docs_per_sec"], 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

