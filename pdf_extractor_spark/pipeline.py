@@ -33,13 +33,16 @@ from pdf_extractor_spark import assemble
 from pdf_extractor_spark.pdf.udf import tokenize_pdf_udf
 
 SESSION_DEFAULTS = {
-    # local-mode: driver JVM hosts all executor threads. Measured on this
-    # box: G1 with a LARGER heap is consistently 2-4x slower on the Arrow
-    # kernel stages (humongous-allocation churn from multi-MB binary rows);
-    # 2g beats 1g (GCLocker thrash) and 4-48g (GC overhead). Python/Arrow
-    # buffers live off-JVM, so the small heap is safe. On a real cluster
-    # this is spark.executor.memory via spark-submit instead.
-    "spark.driver.memory": "2g",
+    # local-mode: driver JVM hosts all executor threads. Multi-MB binary
+    # document rows are humongous allocations under G1 and its GCLocker
+    # interaction with the Arrow JNI paths collapses throughput (measured:
+    # G1@8g 124s vs ZGC@8g 69s on the 500k-doc job; G1 at small heaps
+    # GCLocker-thrashes outright). ZGC has no humongous regions and no
+    # GCLocker stalls — it is the right collector for fat-binary-row
+    # workloads. On a real cluster these become spark.executor.memory /
+    # spark.executor.extraJavaOptions via spark-submit.
+    "spark.driver.memory": "8g",
+    "spark.driver.extraJavaOptions": "-XX:+UseZGC",
     # AQE: runtime coalescing + skew-join splitting at cluster scale
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -47,6 +50,11 @@ SESSION_DEFAULTS = {
     # Arrow everywhere; modest batches because span arrays are fat
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+    # Vectorized parquet reader: the default 4096-row columnar batch times
+    # multi-MB binary document cells demands GBs of contiguous heap (OOMs on
+    # the skew tail); 128 rows bounds a batch to ~256 MB even if every row
+    # is a megabyte-class PDF
+    "spark.sql.parquet.columnarReaderBatchSize": "128",
     # 128 MB scan splits — fits executor memory with fat binary rows
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.compression.codec": "zstd",
@@ -129,19 +137,21 @@ def tokenize_stage(df: DataFrame, content_col: str = "content") -> DataFrame:
     """S1: Arrow tokenizer kernel + reading-order assembly.
 
     Dispatches PDF vs HTML by magic bytes (``%PDF``) — content_type metadata
-    may lie at web scale. Dispatch happens INSIDE one fused kernel
-    (tokenize_dispatch) so the content column crosses the Arrow boundary
-    exactly once; both kernels emit the same tokenized struct and HTML
-    document order is pre-encoded in y0, so one assembly stage serves both."""
-    from pdf_extractor_spark.tokenize_dispatch import tokenize_any_udf
+    may lie at web scale. Dispatch AND per-doc assembly (sort/offset/full
+    text) happen inside one fused Arrow kernel (tokenize_dispatch): content
+    crosses the Arrow boundary exactly once and no higher-order Column
+    function sits on the hot path (those fall out of codegen — see
+    tokenize_dispatch docstring for the measurements). assemble.py holds
+    the equivalent Column forms, oracle-tested separately."""
+    from pdf_extractor_spark.tokenize_dispatch import tokenize_assemble_udf
 
-    tok = df.withColumn("_tok", tokenize_any_udf(F.col(content_col)))
-    ordered = tok.withColumn("ordered_spans", assemble.ordered_spans(F.col("_tok.spans")))
+    tok = df.withColumn("_tok", tokenize_assemble_udf(F.col(content_col)))
     return (
-        ordered.withColumn("page_width", F.col("_tok.page_width"))
+        tok.withColumn("ordered_spans", F.col("_tok.spans"))
+        .withColumn("page_width", F.col("_tok.page_width"))
         .withColumn("page_height", F.col("_tok.page_height"))
-        .withColumn("spans", assemble.public_spans(F.col("ordered_spans")))
-        .withColumn("full_text", assemble.full_text(F.col("ordered_spans")))
+        .withColumn("spans", assemble.public_spans(F.col("_tok.spans")))
+        .withColumn("full_text", F.col("_tok.full_text"))
         .drop("_tok")
     )
 

@@ -83,22 +83,27 @@ def dedup_minhash_signature(spark, sf_dir):
 
 @register(
     "dedup_minhash_bands",
-    f"""WITH words AS (
-          SELECT d.doc_id, u.word FROM documents d,
-               unnest(list_distinct(string_split(lower(d.text), ' '))) u(word)
-          WHERE u.word <> ''
+    f"""WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+        ), idx AS (
+          SELECT doc_id, l,
+                 unnest(range(1, greatest(array_length(l) - 1, 1))) AS i
+          FROM toks
+        ), dsh AS (
+          SELECT DISTINCT doc_id,
+                 l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+          FROM idx
         ), sigs AS (
           SELECT doc_id,
-                 min({_h32_sql("'1' || word")}) AS mh_1,
-                 min({_h32_sql("'2' || word")}) AS mh_2,
-                 min({_h32_sql("'3' || word")}) AS mh_3,
-                 min({_h32_sql("'4' || word")}) AS mh_4
-          FROM words GROUP BY doc_id
+                 {', '.join(f"min({_h32_sql(chr(39) + str(k) + chr(39) + ' || shingle')}) AS mh_{k}" for k in range(1, 9))}
+          FROM dsh GROUP BY doc_id
         ), bands AS (
-          SELECT doc_id, md5(mh_1::VARCHAR || '_' || mh_2::VARCHAR) AS band
+          SELECT doc_id, md5(mh_1::VARCHAR || '_' || mh_2::VARCHAR || '_' ||
+                             mh_3::VARCHAR || '_' || mh_4::VARCHAR) AS band
           FROM sigs
           UNION ALL
-          SELECT doc_id, md5(mh_3::VARCHAR || '_' || mh_4::VARCHAR) AS band
+          SELECT doc_id, md5(mh_5::VARCHAR || '_' || mh_6::VARCHAR || '_' ||
+                             mh_7::VARCHAR || '_' || mh_8::VARCHAR) AS band
           FROM sigs
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -106,38 +111,53 @@ def dedup_minhash_signature(spark, sf_dir):
         GROUP BY a.doc_id, b.doc_id""",
 )
 def dedup_minhash_bands(spark, sf_dir):
-    """MinHash LSH banding: signature → bands → bucket join → candidate
-    pairs. The band join is the scale path: candidates ≪ n², never n×n."""
+    """MinHash LSH banding over 3-word shingles: shingle → 8-perm minhash
+    signature → 2 bands of 4 → bucket join → candidate pairs.
+
+    Shingles (not single words) are what keeps LSH non-degenerate on
+    natural-language corpora: word-level features over a shared vocabulary
+    collide massively (measured 7.5M candidate pairs from 5k docs vs 250
+    with shingles), and band size 4 makes a bucket hit mean sim^4-level
+    agreement. The band join is the scale path: candidates ≪ n², never
+    n×n. Everything before the join is codegen (split/transform/explode +
+    grouped min — partial agg ships only (doc, 8×int) per doc)."""
     d = t(spark, sf_dir, "documents")
-    words = (
-        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
-        .where(F.col("word") != "")
-        .distinct()
-    )
-    sigs = words.groupBy("doc_id").agg(
+    l = F.split(F.lower("text"), " ")
+    toks = d.select("doc_id", l.alias("l"))
+    # shingle i = words[i..i+2], 1-based, i ∈ [1, len-2] (empty when len<3)
+    idx = F.when(
+        F.size("l") >= 3, F.sequence(F.lit(1), F.size("l") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("l", i),
+                    F.element_at("l", i + 1),
+                    F.element_at("l", i + 2),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    sigs = shingles.groupBy("doc_id").agg(
         *[
-            F.min(_h32(F.concat(F.lit(str(i)), F.col("word")))).alias(f"mh_{i}")
-            for i in range(1, 5)
+            F.min(_h32(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"mh_{i}")
+            for i in range(1, 9)
         ]
     )
-    band1 = sigs.select(
-        "doc_id",
-        F.md5(F.concat_ws("_", F.col("mh_1").cast("string"), F.col("mh_2").cast("string"))).alias("band"),
+    def band(cols):
+        return F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
+    bands = sigs.select("doc_id", band(["mh_1", "mh_2", "mh_3", "mh_4"]).alias("band")).unionByName(
+        sigs.select("doc_id", band(["mh_5", "mh_6", "mh_7", "mh_8"]).alias("band"))
     )
-    band2 = sigs.select(
-        "doc_id",
-        F.md5(F.concat_ws("_", F.col("mh_3").cast("string"), F.col("mh_4").cast("string"))).alias("band"),
-    )
-    bands = band1.unionByName(band2)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
-        .select("doc_a", "doc_b")
+        .distinct()
     )
 
 

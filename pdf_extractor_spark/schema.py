@@ -76,6 +76,17 @@ TOKENIZED_STRUCT = StructType(
     ]
 )
 
+# Fused kernel output: spans already reading-order-sorted with offsets
+# assigned, plus the truncated full text (see tokenize_dispatch.assemble_doc).
+ASSEMBLED_STRUCT = StructType(
+    [
+        StructField("page_width", FloatType()),
+        StructField("page_height", FloatType()),
+        StructField("spans", GEO_SPANS_TYPE),
+        StructField("full_text", StringType()),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # Ingestion table (pre-tokenize), FIXTURES.md §1.1.
 # ---------------------------------------------------------------------------

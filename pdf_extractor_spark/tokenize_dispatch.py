@@ -1,22 +1,42 @@
-"""Single-pass tokenizer dispatch kernel.
+"""Single-pass tokenizer dispatch + in-kernel assembly.
 
-One Arrow ``pandas_udf`` that sniffs magic bytes per row and routes to the
-PDF or HTML kernel. Branching INSIDE the kernel matters: the obvious
-``F.when(is_pdf, pdf_udf(c)).otherwise(html_udf(c))`` plan evaluates BOTH
-pandas UDFs over every row — the full content column crosses the Arrow
-boundary twice and each kernel burns cycles rejecting the other's format.
-Measured ~2x wall-clock on the mixed corpus; the fused kernel ships each
-byte exactly once.
+One Arrow ``pandas_udf`` that sniffs magic bytes per row, routes to the PDF
+or HTML kernel, and finishes the per-document work (reading-order sort,
+offset assignment, full-text build) before the bytes leave Python. Two
+measured reasons for the fusion:
+
+* Branching INSIDE the kernel: the obvious
+  ``F.when(is_pdf, pdf_udf(c)).otherwise(html_udf(c))`` plan evaluates BOTH
+  pandas UDFs over every row — the full content column crosses the Arrow
+  boundary twice and each kernel burns cycles rejecting the other's format
+  (~2x wall-clock on the mixed corpus).
+* Assembly INSIDE the kernel: higher-order Column functions
+  (transform/array_sort/filter/split) fall out of whole-stage codegen and
+  cost more than the tokenizer itself on fat span arrays (+23s on a 36s
+  stage at 500k docs); per-document sorting/joining is O(spans) local work
+  that Python does for free while the data is already here. The
+  column-expression equivalents live in assemble.py and stay oracle-tested
+  (w1/w2/w4) — they are the right tool for *relational* plans, just not for
+  this hot path.
+
+The sort key mirrors assemble.ordered_spans exactly — struct natural
+ordering over (-round(y0,2), round(x0,2), kind, text, media_ref, x0, y0,
+x1, y1, size) with SQL NULLS FIRST semantics — so either path yields
+byte-identical span sequences (golden-tested on the reference fixtures).
 """
 
 from __future__ import annotations
 
+import re
+from typing import Any, Dict
+
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
-from pdf_extractor_spark.schema import TOKENIZED_STRUCT
+from pdf_extractor_spark.schema import ASSEMBLED_STRUCT, TOKENIZED_STRUCT
 from pdf_extractor_spark.pdf.tokenizer import tokenize_pdf
 from pdf_extractor_spark.html.boilerplate import tokenize_html
+from pdf_extractor_spark.assemble import TRUNCATE_SENTINEL, TRUNCATE_WORDS
 
 
 def tokenize_any(data) -> dict:
@@ -24,6 +44,41 @@ def tokenize_any(data) -> dict:
     if b.startswith(b"%PDF"):
         return tokenize_pdf(b)
     return tokenize_html(b)
+
+
+def _null_low(v):  # SQL NULLS FIRST under ascending order
+    return (0, "") if v is None else (1, v)
+
+
+def _sort_key(s: Dict[str, Any]):
+    return (
+        -round(s["y0"], 2), round(s["x0"], 2), s["kind"],
+        _null_low(s["text"]), _null_low(s["media_ref"]),
+        s["x0"], s["y0"], s["x1"], s["y1"], s["size"],
+    )
+
+
+_WS = re.compile(r"\s+")
+
+
+def assemble_doc(tok: Dict[str, Any]) -> Dict[str, Any]:
+    """Reading-order sort + offsets + truncated full text (mirrors
+    extractor.py:103-128 semantics; see assemble.py for the Column forms)."""
+    spans = sorted(tok["spans"], key=_sort_key)
+    for i, s in enumerate(spans):
+        s["offset"] = i
+    joined = "\n".join(s["text"] for s in spans if s["kind"] == "text")
+    words = _WS.split(joined)
+    if len(words) > TRUNCATE_WORDS:
+        full_text = " ".join(words[:TRUNCATE_WORDS]) + TRUNCATE_SENTINEL
+    else:
+        full_text = joined
+    return {
+        "page_width": tok["page_width"],
+        "page_height": tok["page_height"],
+        "spans": spans,
+        "full_text": full_text,
+    }
 
 
 @pandas_udf(TOKENIZED_STRUCT)
@@ -34,5 +89,18 @@ def tokenize_any_udf(content: pd.Series) -> pd.DataFrame:
             "page_width": [r["page_width"] for r in rows],
             "page_height": [r["page_height"] for r in rows],
             "spans": [r["spans"] for r in rows],
+        }
+    )
+
+
+@pandas_udf(ASSEMBLED_STRUCT)
+def tokenize_assemble_udf(content: pd.Series) -> pd.DataFrame:
+    rows = [assemble_doc(tokenize_any(b)) for b in content]
+    return pd.DataFrame(
+        {
+            "page_width": [r["page_width"] for r in rows],
+            "page_height": [r["page_height"] for r in rows],
+            "spans": [r["spans"] for r in rows],
+            "full_text": [r["full_text"] for r in rows],
         }
     )

@@ -23,8 +23,14 @@ REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
 
 
 def run_once(cpus: int) -> dict:
+    # taskset pins the WHOLE process tree (JVM + Python workers) to `cpus`
+    # cores — local[N] alone only caps JVM task slots while the N Python
+    # workers land on extra cores, which would overstate the small-cluster
+    # leg and understate scaling. Affinity-bound local[N] is the faithful
+    # stand-in for an N-core cluster.
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"),
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, os.path.join(REPO, "bench.py"),
          "--extract-only", "--cpus", str(cpus), "--n-docs", str(N_DOCS)],
         capture_output=True, text=True, check=True, cwd=REPO,
     )
