@@ -131,9 +131,9 @@ def main() -> None:
     from pdf_extractor_spark.pipeline import extract_spans
 
     warm = spark.read.parquet(corpus).limit(64)
-    extract_spans(warm, partitions=partitions).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    extract_spans(warm, partitions=partitions, columns="public").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     queries: dict[str, float] = {}
     ext = run_extract(spark, corpus, partitions)

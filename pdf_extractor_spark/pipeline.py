@@ -133,7 +133,9 @@ def dedup_with_lineage(df: DataFrame, content_col: str = "content") -> DataFrame
     )
 
 
-def tokenize_stage(df: DataFrame, content_col: str = "content") -> DataFrame:
+def tokenize_stage(
+    df: DataFrame, content_col: str = "content", columns: str = "geo"
+) -> DataFrame:
     """S1: Arrow tokenizer kernel + reading-order assembly.
 
     Dispatches PDF vs HTML by magic bytes (``%PDF``) — content_type metadata
@@ -142,9 +144,26 @@ def tokenize_stage(df: DataFrame, content_col: str = "content") -> DataFrame:
     crosses the Arrow boundary exactly once and no higher-order Column
     function sits on the hot path (those fall out of codegen — see
     tokenize_dispatch docstring for the measurements). assemble.py holds
-    the equivalent Column forms, oracle-tested separately."""
-    from pdf_extractor_spark.tokenize_dispatch import tokenize_assemble_udf
+    the equivalent Column forms, oracle-tested separately.
 
+    ``columns="geo"`` emits geometry-bearing ordered spans + full_text (for
+    downstream field extraction); ``columns="public"`` pushes the projection
+    into the kernel — only the 4-field public contract crosses Arrow (the
+    kernel-level analog of parquet column pruning; right choice for
+    spans-only jobs)."""
+    from pdf_extractor_spark.tokenize_dispatch import (
+        tokenize_assemble_public_udf,
+        tokenize_assemble_udf,
+    )
+
+    if columns == "public":
+        tok = df.withColumn("_tok", tokenize_assemble_public_udf(F.col(content_col)))
+        return (
+            tok.withColumn("page_width", F.col("_tok.page_width"))
+            .withColumn("page_height", F.col("_tok.page_height"))
+            .withColumn("spans", F.col("_tok.spans"))
+            .drop("_tok")
+        )
     tok = df.withColumn("_tok", tokenize_assemble_udf(F.col(content_col)))
     return (
         tok.withColumn("ordered_spans", F.col("_tok.spans"))
@@ -161,6 +180,7 @@ def extract_spans(
     partitions: int = 32,
     checkpoint: Optional[DataFrame] = None,
     dedup: str = "narrow",
+    columns: str = "geo",
 ) -> DataFrame:
     """RAW_DOC_SCHEMA docs → (doc_id, spans, full_text, …) with resume/dedup.
 
@@ -186,16 +206,19 @@ def extract_spans(
     if checkpoint is not None:
         done = checkpoint.where(F.col("status") == "committed").select("doc_id")
         df = df.join(done, "doc_id", "left_anti")
+    extra = (
+        [] if columns == "public" else ["ordered_spans", "full_text"]
+    )
     if dedup == "narrow":
-        return tokenize_stage(df).select(
+        return tokenize_stage(df, columns=columns).select(
             "doc_id", "content_hash", "page_width", "page_height",
-            "ordered_spans", "spans", "full_text",
+            "spans", *extra,
         )
     distinct = dedup_with_lineage(df)
     distinct = skew_repartition(distinct, partitions)
-    tokenized = tokenize_stage(distinct).select(
+    tokenized = tokenize_stage(distinct, columns=columns).select(
         "content_hash", "doc_ids", "page_width", "page_height",
-        "ordered_spans", "spans", "full_text",
+        "spans", *extra,
     )
     return tokenized.withColumn("doc_id", F.explode("doc_ids")).drop("doc_ids")
 
@@ -227,9 +250,11 @@ def run_extraction_job(
     run_id = run_id or uuid.uuid4().hex
     docs = spark.read.parquet(input_path)
     ckpt = read_checkpoint(spark, output_dir) if resume else None
-    result = extract_spans(docs, partitions=partitions, checkpoint=ckpt, dedup=dedup)
-    # full_text is derivable from spans (concat_ws over text) — writing it
-    # would double the sink bytes, so the durable output is spans only.
+    # spans-only job → push the public projection into the kernel (geometry
+    # and full_text never cross Arrow; full_text is derivable from spans).
+    result = extract_spans(
+        docs, partitions=partitions, checkpoint=ckpt, dedup=dedup, columns="public"
+    )
     out = result.select(
         "doc_id",
         "content_hash",

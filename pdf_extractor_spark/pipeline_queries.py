@@ -482,4 +482,66 @@ def mm_decode_metadata(spark, sf_dir):
     return decode_metadata(d, blob_col="blob", id_col="doc_id")
 
 
+@register(
+    "sim_topk_bruteforce",
+    """WITH scored AS (
+         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                round(list_cosine_similarity(q.embedding, e.embedding), 3) AS cos,
+                row_number() OVER (
+                  PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                           e.vec_id
+                ) AS rk
+         FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         WHERE q.vec_id < 5
+       )
+       SELECT query_id, neighbor_id, cos, rk FROM scored WHERE rk <= 3""",
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    """Exact top-k nearest neighbors (the ANN ground truth): broadcast the
+    query set, JVM-side dot product, per-query window top-3 with a
+    deterministic vec_id tiebreak. At scale the window partitions by
+    query_id so the shuffle is (candidates × queries), never all-pairs."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("q_emb", "embedding", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    scored = joined.withColumn(
+        "cos_raw", dot / (norm(F.col("q_emb")) * norm(F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_raw", 3).alias("cos"),
+            "rk",
+        )
+    )
+
+
+@register_rows_only("mm_frame_sample")
+def mm_frame_sample(spark, sf_dir):
+    """Multimodal UDTF shape: 1 binary blob → N frame rows via mapInPandas
+    (deterministic fake frame stride — real codecs are gated, see
+    multimodal.py). Byte-striding has no single-statement SQL equivalent ⇒
+    rows-only check; pytest asserts the fan-out arithmetic."""
+    from pdf_extractor_spark.multimodal import sample_frames
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    return sample_frames(d, blob_col="blob", id_col="doc_id")
+
+
 __all__ = ["all_queries", "all_oracles"]

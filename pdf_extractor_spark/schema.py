@@ -87,6 +87,16 @@ ASSEMBLED_STRUCT = StructType(
     ]
 )
 
+# Projection-pushed variant: public span contract only — geometry and full
+# text never cross the Arrow boundary (tokenize_assemble_public_udf).
+ASSEMBLED_PUBLIC_STRUCT = StructType(
+    [
+        StructField("page_width", FloatType()),
+        StructField("page_height", FloatType()),
+        StructField("spans", SPANS_TYPE),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # Ingestion table (pre-tokenize), FIXTURES.md §1.1.
 # ---------------------------------------------------------------------------

@@ -33,7 +33,11 @@ from typing import Any, Dict
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
-from pdf_extractor_spark.schema import ASSEMBLED_STRUCT, TOKENIZED_STRUCT
+from pdf_extractor_spark.schema import (
+    ASSEMBLED_PUBLIC_STRUCT,
+    ASSEMBLED_STRUCT,
+    TOKENIZED_STRUCT,
+)
 from pdf_extractor_spark.pdf.tokenizer import tokenize_pdf
 from pdf_extractor_spark.html.boilerplate import tokenize_html
 from pdf_extractor_spark.assemble import TRUNCATE_SENTINEL, TRUNCATE_WORDS
@@ -102,5 +106,28 @@ def tokenize_assemble_udf(content: pd.Series) -> pd.DataFrame:
             "page_height": [r["page_height"] for r in rows],
             "spans": [r["spans"] for r in rows],
             "full_text": [r["full_text"] for r in rows],
+        }
+    )
+
+
+_PUBLIC_KEYS = ("kind", "text", "media_ref", "offset")
+
+
+@pandas_udf(ASSEMBLED_PUBLIC_STRUCT)
+def tokenize_assemble_public_udf(content: pd.Series) -> pd.DataFrame:
+    """Projection pushed INTO the kernel: when the consumer only needs the
+    public span contract, the geometry floats (5 per span) and the full_text
+    string never cross the Arrow boundary — the kernel-level analog of
+    parquet column pruning. Use tokenize_assemble_udf when a downstream
+    stage (field extraction) needs rects."""
+    rows = [assemble_doc(tokenize_any(b)) for b in content]
+    return pd.DataFrame(
+        {
+            "page_width": [r["page_width"] for r in rows],
+            "page_height": [r["page_height"] for r in rows],
+            "spans": [
+                [{k: s[k] for k in _PUBLIC_KEYS} for s in r["spans"]]
+                for r in rows
+            ],
         }
     )
