@@ -1,0 +1,54 @@
+"""Resume idempotency: a job killed after committing part of the corpus
+resumes exactly where it stopped — no missing docs, no duplicates, outputs
+identical to a never-interrupted run (north_rule; SURVEY.md §5.3,
+batch_extract.py:99-107 semantics)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.corpus import generate_corpus
+from pdf_extractor_spark.pipeline import run_extraction_job
+
+
+def _span_fingerprint(spark, out_dir):
+    return {
+        (r["doc_id"], r["fp"])
+        for r in spark.read.parquet(os.path.join(out_dir, "spans"))
+        .select("doc_id", F.md5(F.to_json("spans")).alias("fp"))
+        .collect()
+    }
+
+
+def test_partial_run_then_resume_equals_clean_run(spark, tmp_path):
+    docs_path = str(tmp_path / "docs")
+    generate_corpus(spark, 60, partitions=4).write.parquet(docs_path)
+
+    # clean uninterrupted run
+    clean_dir = str(tmp_path / "clean")
+    stats = run_extraction_job(spark, docs_path, clean_dir, run_id="c", partitions=4)
+    assert stats["docs"] == 60
+
+    # "killed" run: only the first half of the corpus got processed and
+    # committed before the job died
+    killed_dir = str(tmp_path / "killed")
+    half = spark.read.parquet(docs_path).where(F.col("doc_id") < "doc_000000030")
+    half_path = str(tmp_path / "half")
+    half.write.parquet(half_path)
+    s1 = run_extraction_job(spark, half_path, killed_dir, run_id="k1", partitions=4)
+    assert s1["docs"] == 30
+
+    # restart against the FULL input with the same output dir → exactly the
+    # missing half is processed
+    s2 = run_extraction_job(spark, docs_path, killed_dir, run_id="k2", partitions=4)
+    assert s2["docs"] == 30
+
+    # identical durable output, no duplicates
+    assert _span_fingerprint(spark, killed_dir) == _span_fingerprint(spark, clean_dir)
+    assert spark.read.parquet(os.path.join(killed_dir, "spans")).count() == 60
+
+    # a third restart is a no-op
+    s3 = run_extraction_job(spark, docs_path, killed_dir, run_id="k3", partitions=4)
+    assert s3["docs"] == 0
