@@ -23,36 +23,32 @@ import pdf_extractor_spark.pipeline_queries  # noqa: F401,E402  (registers)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: documents → sentence spans (input_hint shape) → per-language
-    corpus summary with quality + exact-dedup stats."""
-    sf_dir = "/root/testdata/sf0.001"
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    spans = docs.select(
-        "doc_id",
-        "lang",
-        F.md5("text").alias("text_hash"),
-        F.filter(
-            F.transform(
-                F.split("text", r"\. "),
-                lambda s, i: F.struct(
-                    F.lit("text").alias("kind"),
-                    s.alias("text"),
-                    F.lit(None).cast("string").alias("media_ref"),
-                    i.cast("int").alias("offset"),
-                ),
-            ),
-            lambda st: F.length(st["text"]) > 0,
-        ).alias("spans"),
-    )
+    """Flagship: the real extraction engine end-to-end — deterministic
+    synthetic interleaved PDF+HTML corpus → fused Arrow tokenize/assembly
+    kernel (zero-shuffle narrow plan) → per-content-type span summary."""
+    from pdf_extractor_spark.corpus import generate_corpus
+    from pdf_extractor_spark.pipeline import extract_spans
+
+    docs = generate_corpus(spark, 200, partitions=8)
+    spans = extract_spans(docs, partitions=8, columns="public")
+    kinds = docs.select("doc_id", "content_type")
     return (
-        spans.groupBy("lang")
+        spans.join(kinds, "doc_id")
+        .select(
+            "content_type",
+            F.size("spans").alias("n_spans"),
+            F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
+            "content_hash",
+        )
+        .groupBy("content_type")
         .agg(
             F.count("*").alias("n_docs"),
-            F.countDistinct("text_hash").alias("n_distinct_docs"),
-            F.sum(F.size("spans")).alias("n_spans"),
-            F.round(F.avg(F.size("spans")), 4).alias("avg_spans_per_doc"),
+            F.countDistinct("content_hash").alias("n_distinct_docs"),
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_media").alias("n_media_spans"),
+            F.round(F.avg("n_spans"), 4).alias("avg_spans_per_doc"),
         )
-        .orderBy("lang")
+        .orderBy("content_type")
     )
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark import assemble
-from pdf_extractor_spark.pdf.udf import tokenize_pdf_udf
+from pdf_extractor_spark.schema import METRICS_SCHEMA
 
 SESSION_DEFAULTS = {
     # local-mode: driver JVM hosts all executor threads. Multi-MB binary
@@ -261,14 +261,35 @@ def run_extraction_job(
         "spans",
         F.size("spans").alias("span_count"),
     )
+    # A3/A5 run counters ride the job itself via observe() — no second pass
+    # over the data (the reference increments its stats dict per doc,
+    # extractor.py:59-66; here the executors aggregate for free).
+    from pyspark.sql import Observation
+
+    obs = Observation(f"extract_{run_id}")
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("span_count").alias("spans"),
+        F.sum(F.when(F.col("span_count") == 0, 1).otherwise(0)).alias("empty_docs"),
+        F.approx_count_distinct("content_hash").alias("approx_distinct"),
+    )
     t0 = time.time()
     spans_path = os.path.join(output_dir, "spans")
     out.write.mode("append").parquet(spans_path)
+    metrics = dict(obs.get)
     n_docs = write_checkpoint(spark, output_dir, run_id, spans_path)
     elapsed = time.time() - t0
+    metrics_rows = [
+        (run_id, k, float(v if v is not None else 0)) for k, v in metrics.items()
+    ]
+    spark.createDataFrame(metrics_rows, METRICS_SCHEMA).write.mode("append").parquet(
+        os.path.join(output_dir, "metrics")
+    )
     return {
         "run_id": run_id,
         "docs": n_docs,
         "seconds": elapsed,
         "docs_per_sec": n_docs / elapsed if elapsed > 0 else 0.0,
+        "metrics": metrics,
     }

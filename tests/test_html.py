@@ -75,3 +75,44 @@ def test_mixed_pipeline_dispatch(spark):
     html_spans = out["d_html"]["spans"]
     assert [s["offset"] for s in html_spans] == list(range(len(html_spans)))
     assert any(s["kind"] == "media" for s in html_spans)
+
+
+LAYOUT_TABLE_PAGE = b"""<html><body>
+<table><tr>
+  <td><a href="/1">Nav one</a> <a href="/2">Nav two</a> <a href="/3">Nav three</a></td>
+  <td>
+    <p>The actual story text lives inside a layout table cell, as on many
+    older news sites; it is long enough and prose-like enough that the
+    densitometric classifier must keep it despite the table markup.</p>
+  </td>
+</tr></table>
+<!-- a comment that must never appear -->
+<p>Trailing paragraph with &amp; entities, &quot;quotes&quot; and &#8212; dashes,
+still carrying enough words to be kept as content by the classifier.</p>
+</body></html>"""
+
+
+def test_layout_table_and_entities():
+    spans = tokenize_html(LAYOUT_TABLE_PAGE)["spans"]
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    joined = " ".join(texts)
+    assert any("actual story text lives inside a layout table" in t for t in texts)
+    assert "Nav one" not in joined            # link-dense cell dropped
+    assert "comment that must never" not in joined
+    assert '"quotes"' in joined and "—" in joined and "&" in joined
+
+
+def test_inline_tags_do_not_split_blocks():
+    page = (b"<p>One sentence with <b>bold</b>, <i>italics</i> and "
+            b"<span>inline spans</span> must remain a single block of "
+            b"continuous prose text for density measurement.</p>")
+    spans = tokenize_html(page)["spans"]
+    assert len(spans) == 1
+    assert "bold" in spans[0]["text"] and "inline spans" in spans[0]["text"]
+
+
+def test_utf8_content():
+    page = ("<p>" + "Acentuação e çedilha são preservadas no conteúdo " * 4
+            + "</p>").encode("utf-8")
+    spans = tokenize_html(page)["spans"]
+    assert spans and "Acentuação" in spans[0]["text"]
