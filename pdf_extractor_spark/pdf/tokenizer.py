@@ -76,9 +76,11 @@ _STREAM_RE = re.compile(rb"stream\r?\n")
 def _scan_objects(data: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
     """Scan ``N G obj ... endobj`` bodies → {num: (dict_bytes, stream_bytes)}.
 
-    Robust to missing/compressed xref tables (we never read the xref); object
-    streams (``/Type/ObjStm``) are not expanded — documents relying on them
-    simply yield fewer objects and the caller degrades gracefully.
+    Robust to missing/compressed xref tables (we never read the xref).
+    Object streams (``/Type/ObjStm``) ARE expanded: their contained objects
+    (modern PDFs keep the page/catalog dicts there) are parsed out of the
+    decoded stream and added to the map; contained objects never have
+    streams of their own (PDF 32000-1 §7.5.7), so expansion is one level.
     """
     objects: Dict[int, Tuple[bytes, Optional[bytes]]] = {}
     for m in _OBJ_RE.finditer(data):
@@ -104,7 +106,43 @@ def _scan_objects(data: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
             objects[num] = (dict_bytes, stream)
         else:
             objects[num] = (body, None)
+    for num, (d, s) in list(objects.items()):
+        if s is not None and b"/ObjStm" in d:
+            _expand_objstm(d, s, objects)
     return objects
+
+
+_INT_RE = re.compile(rb"\d+")
+
+
+def _expand_objstm(
+    dict_bytes: bytes, stream: bytes, objects: Dict[int, Tuple[bytes, Optional[bytes]]]
+) -> None:
+    """Parse a /Type/ObjStm stream: header of N (objnum, offset) pairs, then
+    object bodies at /First + offset. Existing top-level objects win."""
+    decoded = _decode_stream(dict_bytes, stream)
+    if not decoded:
+        return
+    n_raw = _dict_value(dict_bytes, b"N")
+    first_raw = _dict_value(dict_bytes, b"First")
+    if n_raw is None or first_raw is None:
+        return
+    try:
+        n = int(_INT_RE.match(n_raw.lstrip()).group(0))
+        first = int(_INT_RE.match(first_raw.lstrip()).group(0))
+    except (AttributeError, ValueError):
+        return
+    header = _INT_RE.findall(decoded[:first])
+    if len(header) < 2 * n:
+        return
+    pairs = [
+        (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+    ]
+    for i, (objnum, off) in enumerate(pairs):
+        start = first + off
+        end = first + pairs[i + 1][1] if i + 1 < n else len(decoded)
+        if objnum not in objects and 0 <= start <= end <= len(decoded):
+            objects[objnum] = (decoded[start:end], None)
 
 
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")

@@ -85,3 +85,32 @@ def test_escaped_literals_and_tj_arrays():
     texts = [s["text"] for s in doc["spans"]]
     assert texts[0] == "par(en)s and back\\slash"
     assert "kerned" in texts[1] and "pair" in texts[1]
+
+
+def test_objstm_page_dict():
+    """Modern-PDF shape: catalog/pages/page dicts live inside a compressed
+    /Type/ObjStm; only the content stream is a top-level object."""
+    bodies = [
+        (1, b"<< /Type/Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type/Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type/Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>"),
+    ]
+    offsets, payload = [], b""
+    for num, body in bodies:
+        offsets.append((num, len(payload)))
+        payload += body + b"\n"
+    header = b" ".join(b"%d %d" % p for p in offsets) + b"\n"
+    objstm_data = header + payload
+    first = len(header)
+    objstm = zlib.compress(objstm_data)
+    content = zlib.compress(b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (objstm works) Tj ET")
+    pdf = (
+        b"%%PDF-1.6\n"
+        b"5 0 obj << /Type/ObjStm /N 3 /First %d /Length %d /Filter /FlateDecode >> "
+        b"stream\n%s\nendstream endobj\n"
+        b"4 0 obj << /Length %d /Filter /FlateDecode >> stream\n%s\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%%%EOF"
+        % (first, len(objstm), objstm, len(content), content)
+    )
+    doc = assemble_doc(tokenize_any(pdf))
+    assert [s["text"] for s in doc["spans"]] == ["objstm works"]
