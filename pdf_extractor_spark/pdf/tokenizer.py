@@ -172,6 +172,15 @@ def _decode_stream(dict_bytes: bytes, stream: bytes) -> Optional[bytes]:
                 return zlib.decompressobj().decompress(stream)
             except zlib.error:
                 return None
+    if b"/ASCIIHexDecode" in dict_bytes:
+        body = stream.split(b">")[0]
+        hexdigits = re.sub(rb"\s", b"", body)
+        if len(hexdigits) % 2:
+            hexdigits += b"0"
+        try:
+            return bytes.fromhex(hexdigits.decode("ascii"))
+        except (ValueError, UnicodeDecodeError):
+            return None
     if b"/Filter" not in dict_bytes:
         return stream
     return None  # unsupported filter → graceful skip

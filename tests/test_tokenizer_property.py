@@ -114,3 +114,24 @@ def test_objstm_page_dict():
     )
     doc = assemble_doc(tokenize_any(pdf))
     assert [s["text"] for s in doc["spans"]] == ["objstm works"]
+
+
+def test_asciihex_content_and_td_flow():
+    """ASCIIHexDecode content stream using Td/TL/T* text flow (the other
+    common positioning idiom besides absolute Tm)."""
+    ops = b"BT /F1 12 Tf 2 TL 72 720 Td (line one) Tj T* (line two) Tj ET"
+    hexed = ops.hex().encode("ascii") + b">"
+    pdf = (
+        b"%%PDF-1.4\n"
+        b"1 0 obj << /Type/Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type/Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type/Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length %d /Filter /ASCIIHexDecode >> stream\n%s\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%%%EOF" % (len(hexed), hexed)
+    )
+    doc = assemble_doc(tokenize_any(pdf))
+    texts = [s["text"] for s in doc["spans"]]
+    assert texts == ["line one", "line two"]
+    # T* moved down by the 2pt leading → strictly lower y
+    assert doc["spans"][0]["y0"] > doc["spans"][1]["y0"]
