@@ -1,0 +1,38 @@
+"""Similarity-search quality: the LSH-bucketed ANN path is *approximate* —
+its contract is recall against the exact brute-force top-k, which the
+sim_ann_lsh_topk docstring promises is asserted here."""
+
+from __future__ import annotations
+
+import pdf_extractor_spark.queries as q
+import pdf_extractor_spark.pipeline_queries  # noqa: F401  (registers)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    exact = q.all_queries()["sim_topk_bruteforce"](spark, SF).collect()
+    approx = q.all_queries()["sim_ann_lsh_topk"](spark, SF).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # single-table 8-bit LSH: recall over the shared query ids must be
+    # well above random (top-3 of ~500 candidates ≈ 0.6% at random)
+    shared_queries = {qid for qid, _ in truth} & {qid for qid, _ in got}
+    assert shared_queries, "LSH produced no results for any exact query id"
+    t = {p for p in truth if p[0] in shared_queries}
+    g = {p for p in got if p[0] in shared_queries}
+    recall = len(t & g) / len(t)
+    assert recall >= 0.3, f"recall {recall:.2f} below floor"
+
+
+def test_bruteforce_topk_properties(spark):
+    rows = q.all_queries()["sim_topk_bruteforce"](spark, SF).collect()
+    by_query: dict = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_query.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r["cos"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rs)
