@@ -36,7 +36,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_bands",
     "sim_cosine_pairs",
+    "sim_topk_bruteforce",
     "text_quality",
+    "text_langid",
 ]
 
 CORPUS_DOCS_PER_SF = 100_000  # sf0.1 → 10k synthetic docs

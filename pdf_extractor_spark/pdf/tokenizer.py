@@ -163,6 +163,48 @@ def _resolve_ref(raw: bytes) -> Optional[int]:
     return int(m.group(1)) if m else None
 
 
+def _lzw_decode(data: bytes) -> Optional[bytes]:
+    """PDF LZWDecode (EarlyChange=1, 9→12-bit variable codes; 256=clear,
+    257=EOD). Predictors are not supported (caller checks)."""
+    out = bytearray()
+    base = {i: bytes([i]) for i in range(256)}
+    table = dict(base)
+    next_code, width = 258, 9
+    prev: Optional[bytes] = None
+    buf = nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = dict(base)
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    return None
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                return None
+            out += entry
+            prev = entry
+            if next_code + 1 >= (1 << width) and width < 12:  # EarlyChange=1
+                width += 1
+    return bytes(out)
+
+
 def _decode_stream(dict_bytes: bytes, stream: bytes) -> Optional[bytes]:
     if b"/FlateDecode" in dict_bytes:
         try:
@@ -172,6 +214,10 @@ def _decode_stream(dict_bytes: bytes, stream: bytes) -> Optional[bytes]:
                 return zlib.decompressobj().decompress(stream)
             except zlib.error:
                 return None
+    if b"/LZWDecode" in dict_bytes:
+        if b"/Predictor" in dict_bytes:
+            return None  # predictor post-filter unsupported → graceful skip
+        return _lzw_decode(stream)
     if b"/ASCIIHexDecode" in dict_bytes:
         body = stream.split(b">")[0]
         hexdigits = re.sub(rb"\s", b"", body)

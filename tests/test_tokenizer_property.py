@@ -135,3 +135,65 @@ def test_asciihex_content_and_td_flow():
     assert texts == ["line one", "line two"]
     # T* moved down by the 2pt leading → strictly lower y
     assert doc["spans"][0]["y0"] > doc["spans"][1]["y0"]
+
+
+def test_lzw_decode_spec_vector():
+    """PDF 32000-1 §7.4.4.2 worked example (values are decimal there)."""
+    from pdf_extractor_spark.pdf.tokenizer import _lzw_decode
+
+    enc = bytes([0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01])
+    assert _lzw_decode(enc) == bytes([45] * 5 + [65] + [45] * 3 + [66])
+
+
+def test_lzw_content_stream():
+    """A content stream compressed with a real LZW encoder round-trips."""
+    from pdf_extractor_spark.pdf.tokenizer import _lzw_decode
+
+    ops = b"BT /F1 10 Tf 1 0 0 1 40 700 Tm (lzw path works) Tj ET"
+
+    def lzw_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        next_code, width = 258, 9
+        out_bits, cur = [], b""
+        def emit(code):
+            out_bits.append((code, width))
+        emit(256)  # clear
+        for b in data:
+            nxt = cur + bytes([b])
+            if nxt in table:
+                cur = nxt
+            else:
+                emit(table[cur])
+                table[nxt] = next_code
+                next_code += 1
+                if next_code + 1 >= (1 << width) and width < 12:
+                    width += 1
+                cur = bytes([b])
+        if cur:
+            emit(table[cur])
+        emit(257)  # EOD
+        buf = nbits = 0
+        res = bytearray()
+        for code, w in out_bits:
+            buf = (buf << w) | code
+            nbits += w
+            while nbits >= 8:
+                res.append((buf >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            res.append((buf << (8 - nbits)) & 0xFF)
+        return bytes(res)
+
+    enc = lzw_encode(ops)
+    assert _lzw_decode(enc) == ops
+    pdf = (
+        b"%%PDF-1.2\n"
+        b"1 0 obj << /Type/Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type/Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type/Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length %d /Filter /LZWDecode >> stream\n%s\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%%%EOF" % (len(enc), enc)
+    )
+    doc = assemble_doc(tokenize_any(pdf))
+    assert [s["text"] for s in doc["spans"]] == ["lzw path works"]
