@@ -69,3 +69,27 @@ def test_frame_sample_fanout(spark):
         for i in range(10)
     }
     assert got == want
+
+
+def test_spark_path_equals_local_kernel(spark):
+    """Distributed extract_spans output is span-for-span identical to the
+    kernel run locally on the same bytes (SURVEY.md §5.4 spot check) —
+    covers PDF, HTML, and duplicate docs through the real Spark path."""
+    from pdf_extractor_spark.pipeline import extract_spans
+    from pdf_extractor_spark.tokenize_dispatch import assemble_doc, tokenize_any
+
+    docs = generate_corpus(spark, 50, partitions=4, dup_frac=0.2)
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in r["spans"]]
+        for r in extract_spans(docs, partitions=4, columns="public")
+        .select("doc_id", "spans").collect()
+    }
+    local = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in assemble_doc(tokenize_any(bytes(r["content"])))["spans"]
+        ]
+        for r in docs.collect()
+    }
+    assert got == local
