@@ -18,14 +18,17 @@ from pyspark.sql.types import (
     IntegerType, LongType, StringType, StructField, StructType,
 )
 
-META_SCHEMA = StructType(
-    [
-        StructField("doc_id", StringType()),
-        StructField("byte_len", LongType()),
-        StructField("fake_width", LongType()),
-        StructField("fake_frames", LongType()),
-    ]
-)
+def _meta_schema(id_field: StructField) -> StructType:
+    """Output schema mirrors the caller's id column type (string ids stay
+    string, int64 ids stay int64) so oracle comparisons see identical types."""
+    return StructType(
+        [
+            StructField("doc_id", id_field.dataType),
+            StructField("byte_len", LongType()),
+            StructField("fake_width", LongType()),
+            StructField("fake_frames", LongType()),
+        ]
+    )
 
 try:  # real decoders, if the environment ever provides them
     from PIL import Image  # noqa: F401
@@ -54,21 +57,22 @@ def decode_metadata(
 ) -> DataFrame:
     """binary column → typed metadata via mapInPandas (Arrow batches)."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    projected = df.select(F.col(id_col).alias("doc_id"), blob_col)
+    schema = _meta_schema(projected.schema["doc_id"])
+
+    def run_named(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [_decode_one(b) for b in pdf[blob_col]]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype(str),
+                    "doc_id": pdf["doc_id"],
                     "byte_len": [m["byte_len"] for m in metas],
                     "fake_width": [m["fake_width"] for m in metas],
                     "fake_frames": [m["fake_frames"] for m in metas],
                 }
             )
 
-    return df.select(F.col(id_col).cast("string").alias(id_col), blob_col).mapInPandas(
-        run, META_SCHEMA
-    )
+    return projected.mapInPandas(run_named, schema)
 
 
 FRAME_SCHEMA = StructType(

@@ -458,30 +458,40 @@ def text_token_count(spark, sf_dir):
 @register(
     "text_fingerprint",
     f"""WITH words AS (
-         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
-                generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+         SELECT doc_id,
+                unnest(string_split(lower(coalesce(text, '')), ' ')) AS word,
+                generate_subscripts(string_split(lower(coalesce(text, '')), ' '), 1)
+                  AS pos
          FROM documents
        ), seq AS (
          SELECT doc_id, {_h32_sql("word")} AS h,
                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rpos
          FROM words WHERE word <> ''
        )
-       SELECT doc_id, sum(h * rpos) % 2147483647 AS fingerprint
+       SELECT doc_id,
+              (sum((h * rpos) % 2147483647) % 2147483647)::BIGINT AS fingerprint
        FROM seq GROUP BY doc_id""",
 )
 def text_fingerprint(spark, sf_dir):
     """Order-sensitive document fingerprint: position-weighted sum of word
-    hashes mod 2^31−1 (a rolling-hash analog that is a pure grouped agg)."""
+    hashes mod 2^31−1 (a rolling-hash analog that is a pure grouped agg).
+
+    Hardened for cross-engine agreement: the modulo is applied PER TERM
+    inside the sum (modular addition distributes), which bounds every
+    partial sum below 2^31·n — Spark's int64 sum cannot wrap on any real
+    document, and the oracle result is cast to BIGINT so DuckDB's
+    sum-promotes-to-HUGEINT never reaches the comparison layer as a
+    float-converted value. NULL text coalesces to '' on both sides."""
     d = t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
     words = d.select(
-        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("p", "word")
+        "doc_id", F.posexplode(F.split(F.lower(txt), " ")).alias("p", "word")
     ).where(F.col("word") != "")
     wspec = Window.partitionBy("doc_id").orderBy("p")
     words = words.withColumn("pos", F.row_number().over(wspec))
+    m = F.lit(2147483647)
     return words.groupBy("doc_id").agg(
-        (F.sum(_h32(F.col("word")) * F.col("pos")) % F.lit(2147483647)).alias(
-            "fingerprint"
-        )
+        (F.sum((_h32(F.col("word")) * F.col("pos")) % m) % m).alias("fingerprint")
     )
 
 
@@ -491,9 +501,10 @@ def text_fingerprint(spark, sf_dir):
 
 @register(
     "mm_decode_metadata",
-    """SELECT doc_id, octet_length(encode(text)) AS byte_len,
-              octet_length(encode(text)) % 64 + 16 AS fake_width,
-              octet_length(encode(text)) % 7 + 1 AS fake_frames
+    """SELECT doc_id,
+              octet_length(encode(coalesce(text, ''))) AS byte_len,
+              octet_length(encode(coalesce(text, ''))) % 64 + 16 AS fake_width,
+              octet_length(encode(coalesce(text, ''))) % 7 + 1 AS fake_frames
        FROM documents""",
 )
 def mm_decode_metadata(spark, sf_dir):
@@ -501,11 +512,17 @@ def mm_decode_metadata(spark, sf_dir):
     mapInPandas kernel that emits typed metadata. The decode itself is a
     deterministic fake (image/audio libs absent — see multimodal.py for the
     gated real-decoder interface); the Spark-side batch shape, schema and
-    partitioning are real and oracle-checked."""
+    partitioning are real and oracle-checked.
+
+    doc_id keeps its native (int64) type end-to-end — the kernel's output
+    schema mirrors the input id type, so the comparison layer sees BIGINT
+    on both engines instead of string-vs-int; NULL blobs coalesce to b''
+    on both sides."""
     from pdf_extractor_spark.multimodal import decode_metadata
 
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("blob")
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("blob"),
     )
     return decode_metadata(d, blob_col="blob", id_col="doc_id")
 
