@@ -69,10 +69,17 @@ def dedup_minhash_signature(spark, sf_dir):
     shingle→minhash. Explode + grouped min — partial agg makes the shuffle
     carry only (doc, 8×int) rows regardless of document size."""
     d = t(spark, sf_dir, "documents")
-    words = (
-        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
-        .where(F.col("word") != "")
-        .distinct()
+    # dedup happens per-doc via array_distinct BEFORE the explode — a narrow
+    # expression, not a .distinct() (which would shuffle the full exploded
+    # relation). The grouped min then partial-aggregates map-side, so the
+    # only shuffle carries (doc_id, 8×int) rows.
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+            )
+        ).alias("word"),
     )
     aggs = [
         F.min(_h32(F.concat(F.lit(str(i)), F.col("word")))).alias(f"mh_{i}")
@@ -128,31 +135,52 @@ def dedup_minhash_bands(spark, sf_dir):
     idx = F.when(
         F.size("l") >= 3, F.sequence(F.lit(1), F.size("l") - 2)
     ).otherwise(F.array().cast("array<int>"))
+    # per-doc dedup via array_distinct BEFORE the explode — narrow, no
+    # shuffle (a .distinct() here shuffles the widest relation in the query
+    # for nothing: the grouped mins are duplicate-insensitive, but hashing
+    # each duplicate shingle 8× isn't free either, so dedup in-row first).
+    # The min agg then partial-aggregates map-side and the only shuffle
+    # ships (doc_id, 8×int).
     shingles = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("l", i),
-                    F.element_at("l", i + 1),
-                    F.element_at("l", i + 2),
-                ),
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("l", i),
+                        F.element_at("l", i + 1),
+                        F.element_at("l", i + 2),
+                    ),
+                )
             )
         ).alias("shingle"),
-    ).distinct()
+    )
     sigs = shingles.groupBy("doc_id").agg(
         *[
             F.min(_h32(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"mh_{i}")
             for i in range(1, 9)
         ]
     )
+    # Both bands come out of ONE pass over the signatures via stack() (a
+    # unionByName of two selects re-computes the whole scan→explode→agg
+    # subtree per branch — Spark does not dedupe common subplans), and the
+    # tiny (doc_id, band) relation is persisted so the self-join's two sides
+    # share one materialization instead of recomputing the pipeline twice
+    # more. Net: 1 scan of documents instead of 4.
     def band(cols):
-        return F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
-    bands = sigs.select("doc_id", band(["mh_1", "mh_2", "mh_3", "mh_4"]).alias("band")).unionByName(
-        sigs.select("doc_id", band(["mh_5", "mh_6", "mh_7", "mh_8"]).alias("band"))
-    )
+        return "md5(concat_ws('_', {}))".format(
+            ", ".join(f"cast({c} as string)" for c in cols)
+        )
+
+    bands = sigs.selectExpr(
+        "doc_id",
+        "stack(2, {}, {}) as band".format(
+            band(["mh_1", "mh_2", "mh_3", "mh_4"]),
+            band(["mh_5", "mh_6", "mh_7", "mh_8"]),
+        ),
+    ).persist()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -193,20 +221,29 @@ def dedup_simhash(spark, sf_dir):
     return words.groupBy("doc_id").agg(bit_terms.alias("simhash16"))
 
 
+NGRAM_HOT_DF_FRACTION = 0.1  # grams in >10% of docs carry no dedup signal
+NGRAM_HOT_DF_FLOOR = 10      # ...but never drop grams on tiny corpora
+
+
 @register(
     "dedup_ngram_jaccard",
-    """WITH tokens AS (
-         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
-                generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+    f"""WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
          FROM documents
-       ), seq AS (
-         SELECT doc_id, word, pos FROM tokens WHERE word <> ''
+       ), grams0 AS (
+         SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] AS gram
+         FROM (SELECT doc_id, l,
+                      unnest(range(1, greatest(len(l), 1))) AS i
+               FROM toks)
+       ), dfreq AS (
+         SELECT gram, count(*) AS df FROM grams0 GROUP BY gram
+       ), total AS (SELECT count(*) AS n_docs FROM documents
        ), grams AS (
-         SELECT DISTINCT doc_id,
-                word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos)
-                  AS gram
-         FROM seq
-         QUALIFY lead(word) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+         SELECT g.doc_id, g.gram
+         FROM grams0 g JOIN dfreq f ON g.gram = f.gram, total
+         WHERE f.df <= greatest(n_docs * {NGRAM_HOT_DF_FRACTION},
+                                {NGRAM_HOT_DF_FLOOR})
        ), sizes AS (
          SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
        ), common AS (
@@ -222,22 +259,52 @@ def dedup_simhash(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup: distinct word bigrams per doc, inverted-index
-    join on gram (never a cross join), Jaccard from common/total counts."""
+    join on gram (never a cross join), Jaccard from common/total counts over
+    the docs' RARE grams.
+
+    Two scale hardenings vs the naive formulation:
+    - grams are built with a narrow array expression (filter empty tokens →
+      pair adjacent elements) instead of a per-doc lead() window — no
+      shuffle before the distinct;
+    - grams whose document frequency exceeds max(10% of corpus, 10) are
+      dropped before the join. On natural text, stop-bigrams ("of the")
+      put a huge fraction of docs into one gram bucket and drive the join
+      near-quadratic; capping df bounds every bucket at O(0.1·n) and
+      improves precision (hot grams carry no dedup signal). The hot-gram
+      set is tiny (a few thousand stop-bigrams) → broadcast anti-join."""
     d = t(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("p", "word")
-    ).where(F.col("word") != "")
-    wspec = Window.partitionBy("doc_id").orderBy("p")
-    grams = (
-        words.select(
-            "doc_id",
-            F.concat_ws(" ", "word", F.lead("word").over(wspec)).alias("gram"),
-            F.lead("word").over(wspec).alias("_nxt"),
-        )
-        .where(F.col("_nxt").isNotNull())
-        .select("doc_id", "gram")
-        .distinct()
+    lw = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    toks = d.select("doc_id", lw.alias("l"))
+    idx = F.when(
+        F.size("l") >= 2, F.sequence(F.lit(1), F.size("l") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    # per-doc distinct via array_distinct before the explode (narrow) — a
+    # .distinct() on the exploded relation would shuffle every gram row
+    grams0 = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("l", i), F.element_at("l", i + 1)
+                    ),
+                )
+            )
+        ).alias("gram"),
     )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    threshold = F.greatest(
+        F.col("n_docs") * NGRAM_HOT_DF_FRACTION, F.lit(float(NGRAM_HOT_DF_FLOOR))
+    )
+    hot = (
+        grams0.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") > threshold)
+        .select("gram")
+    )
+    grams = grams0.join(F.broadcast(hot), "gram", "left_anti").persist()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -598,23 +665,45 @@ def sim_ann_ivf_topk(spark, sf_dir):
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
 
     def nearest(df, cents, out_col, n_keep):
-        """Attach the n_keep nearest centroid ids (by cosine) to each row."""
-        joined = df.join(F.broadcast(cents), how="cross")
-        cos = dot(F.col("embedding"), F.col("c_emb")) / (
-            norm(F.col("embedding")) * norm(F.col("c_emb"))
+        """Attach the n_keep nearest centroid ids (by cosine) to each row.
+
+        Zero-exchange formulation: the K centroids collapse to ONE broadcast
+        row holding array<struct(cid, c_emb, c_norm)>; each vector computes
+        all K cosines inside a single array expression and picks its top
+        n_keep via sort_array over struct(cos, -cid) — desc struct order =
+        cos desc, cid asc, matching a window ORDER BY cos DESC, cid. The
+        previous explode+row_number() formulation shuffled n×K rows through
+        an exchange — a 16-billion-row shuffle at 10^9 vectors; this one is
+        a narrow map."""
+        arr = F.broadcast(
+            cents.select(
+                "cid", "c_emb", norm(F.col("c_emb")).alias("c_norm")
+            ).agg(F.collect_list(F.struct("cid", "c_emb", "c_norm")).alias("cents"))
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), "cid")
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (
+                    dot(F.col("embedding"), c["c_emb"])
+                    / (F.col("_vnorm") * c["c_norm"])
+                ).alias("cos"),
+                (-c["cid"]).alias("negcid"),
+            ),
+        )
+        top = F.slice(F.sort_array(scored, asc=False), 1, n_keep)
         return (
-            joined.withColumn("_cos", cos)
-            .withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= n_keep)
-            .select(df["*"], F.col("cid").alias(out_col))
+            df.withColumn("_vnorm", norm(F.col("embedding")))
+            .crossJoin(arr)
+            .select(*df.columns, F.explode(top).alias("_t"))
+            .select(*df.columns, (-F.col("_t.negcid")).alias(out_col))
         )
 
     seeds = e.where(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
-    # one k-means refinement pass: assign → per-dimension mean per cluster
+    # one k-means refinement pass: assign → per-dimension mean per cluster;
+    # persisted because both the posting lists and the query probes reuse it
+    # (K rows cached vs re-running the n×dim mean aggregation twice)
     assigned = nearest(e, seeds, "cid", 1)
     refined = (
         assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
@@ -623,6 +712,7 @@ def sim_ann_ivf_topk(spark, sf_dir):
         .groupBy("cid")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
         .select("cid", F.transform("pv", lambda s: s["v"].cast("float")).alias("c_emb"))
+        .persist()
     )
     lists = nearest(e, refined, "cid", 1)  # posting lists
     q = nearest(
