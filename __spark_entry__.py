@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import pdf_extractor_spark.queries as _q  # noqa: E402
 import pdf_extractor_spark.pipeline_queries  # noqa: F401,E402  (registers)
+import pdf_extractor_spark.extraction_queries  # noqa: F401,E402  (registers)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -2,17 +2,36 @@
 
 Spark restatement of the reference's resume journal
 (`/root/reference/batch_extract.py:99-107,153-181`): instead of rewriting one
-JSON file per document, every partition appends idempotent lineage rows keyed
-``(run_id, partition_id, doc_id)``; a restart anti-joins committed doc_ids.
+JSON file per document, every run appends its spans under its own partition
+directory ``spans/run_id=<id>/`` and then commits idempotent lineage rows
+keyed ``(run_id, partition_id, doc_id)``; a restart anti-joins committed
+doc_ids.
 
-The checkpoint table is plain parquet appends (atomic at file granularity —
-each task writes its own file, so a killed job leaves only complete partition
-files behind; no Iceberg transaction required)."""
+Crash-window protocol (two non-atomic actions — spans commit, then lineage
+commit — made safe):
+
+* crash DURING the spans write → the run directory has no ``_SUCCESS``
+  marker; :func:`reconcile_checkpoint` deletes the partial directory and the
+  docs are re-extracted (they were never durable);
+* crash BETWEEN spans commit and lineage commit → the run directory is
+  complete but unreferenced; :func:`reconcile_checkpoint` adopts it by
+  deriving its lineage rows from the committed files — the docs are NOT
+  re-extracted and the spans table holds no duplicates;
+* crash AFTER lineage commit → the resume anti-join sees the docs as
+  committed; the job writes nothing new.
+
+Per-commit cost is O(this run's output) — the previous protocol re-scanned
+the entire spans table (all runs ever written) on every commit, which is
+unbounded for a long-lived stream. The lineage ``partition_id`` is recorded
+by the WRITING task (``spark_partition_id()`` evaluated inside the spans
+write job), not re-derived at read time."""
 
 from __future__ import annotations
 
+import glob
 import os
-from typing import Optional
+import shutil
+from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,33 +39,50 @@ from pyspark.sql import functions as F
 from pdf_extractor_spark.schema import CHECKPOINT_SCHEMA
 
 CHECKPOINT_DIR = "checkpoint"
+SPANS_DIR = "spans"
 
 
 def checkpoint_path(output_dir: str) -> str:
     return os.path.join(output_dir, CHECKPOINT_DIR)
 
 
+def spans_path(output_dir: str) -> str:
+    return os.path.join(output_dir, SPANS_DIR)
+
+
+def spans_run_path(output_dir: str, run_id: str) -> str:
+    return os.path.join(spans_path(output_dir), f"run_id={run_id}")
+
+
 def read_checkpoint(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
     path = checkpoint_path(output_dir)
+    # existence-check before handing the path to the JVM: a first run would
+    # otherwise log a full PATH_NOT_FOUND stack trace from the catch-all
+    if not os.path.isdir(path):
+        return None
     try:
         return spark.read.schema(CHECKPOINT_SCHEMA).parquet(path)
     except Exception:
-        return None  # first run — nothing committed yet
+        return None
 
 
-def write_checkpoint(
-    spark: SparkSession, output_dir: str, run_id: str, spans_path: str
-) -> int:
-    """Derive lineage rows from the just-written spans output and append them.
+def write_checkpoint(spark: SparkSession, output_dir: str, run_id: str) -> int:
+    """Commit lineage for ONE run by reading back its own partition
+    directory (never the whole spans table).
 
-    Reading back the committed files (rather than trusting the in-flight
+    Reading the committed files (rather than trusting the in-flight
     DataFrame) makes the checkpoint reflect exactly what is durable — the
     property the reference gets by appending to its journal only after each
     document is written (batch_extract.py:176-181)."""
-    written = spark.read.parquet(spans_path)
+    run_path = spans_run_path(output_dir, run_id)
+    if not os.path.isdir(run_path):
+        return 0
+    written = spark.read.parquet(run_path)
+    if "partition_id" not in written.columns:
+        written = written.withColumn("partition_id", F.lit(-1))
     lineage = written.select(
         F.lit(run_id).alias("run_id"),
-        F.spark_partition_id().alias("partition_id"),
+        F.col("partition_id").cast("int").alias("partition_id"),
         F.col("doc_id"),
         F.col("content_hash"),
         F.lit("committed").alias("status"),
@@ -54,16 +90,43 @@ def write_checkpoint(
         F.lit(0).cast("long").alias("byte_count"),
         F.current_timestamp().alias("committed_at"),
     )
-    prior = read_checkpoint(spark, output_dir)
-    if prior is not None:
-        lineage = lineage.join(
-            prior.select("doc_id").distinct(), "doc_id", "left_anti"
-        )
     lineage.write.mode("append").parquet(checkpoint_path(output_dir))
-    new = spark.read.parquet(checkpoint_path(output_dir)).where(
-        F.col("run_id") == run_id
+    return spark.read.parquet(run_path).count()
+
+
+def _runs_on_disk(output_dir: str) -> List[str]:
+    return sorted(
+        d.split("run_id=", 1)[1]
+        for d in glob.glob(os.path.join(spans_path(output_dir), "run_id=*"))
+        if os.path.isdir(d)
     )
-    return new.count()
+
+
+def reconcile_checkpoint(spark: SparkSession, output_dir: str) -> List[str]:
+    """Heal the two crash windows before a resume (see module docstring).
+
+    Returns the run_ids whose durable-but-uncommitted spans were adopted
+    into lineage. Partial (no ``_SUCCESS``) run directories are removed."""
+    adopted: List[str] = []
+    runs = _runs_on_disk(output_dir)
+    if not runs:
+        return adopted
+    ckpt = read_checkpoint(spark, output_dir)
+    committed = (
+        {r["run_id"] for r in ckpt.select("run_id").distinct().collect()}
+        if ckpt is not None
+        else set()
+    )
+    for rid in runs:
+        if rid in committed:
+            continue
+        run_path = spans_run_path(output_dir, rid)
+        if os.path.exists(os.path.join(run_path, "_SUCCESS")):
+            write_checkpoint(spark, output_dir, rid)
+            adopted.append(rid)
+        else:
+            shutil.rmtree(run_path, ignore_errors=True)
+    return adopted
 
 
 def run_metrics(checkpoint: DataFrame) -> DataFrame:

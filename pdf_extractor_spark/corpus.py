@@ -12,8 +12,8 @@ Produces a RAW_DOC_SCHEMA parquet table of interleaved text+media documents
   * exact duplicates at ``dup_frac`` (exercises the dedup-before-compute
     path, reference pdf_cache extractor.py:883-886);
   * a skew tail: ``skew_frac`` of docs are 20-60× larger than the median
-    (north_rule megabyte-PDF skew clause) so the salted size-bucket
-    repartition in pipeline.py is measured, not assumed.
+    (north_rule megabyte-PDF skew clause) so the content-hash-salted
+    repartition in pipeline.py (skew_repartition) is measured, not assumed.
 
 Everything is seeded per-doc (doc index → rng), so any subset of the corpus
 is reproducible on any partitioning — generation runs distributed via
@@ -110,6 +110,38 @@ def make_pdf(
         )
     body = b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
     return body
+
+
+def make_labeled_pdf(fields: dict, title: str = "") -> bytes:
+    """Single-page PDF in the fixture-card layout class: each field's label
+    text with its value 16pt below (anchor-above-value, the shape
+    `_derive_heuristic_for_value`'s first probe targets —
+    /root/reference/extractor.py:517-521). Deterministic; used by the
+    repair-loop driver query and tests."""
+    pw, ph = 612.0, 792.0
+    ops: List[bytes] = [b"BT /F1 10 Tf"]
+    y = ph - 60.0
+    if title:
+        ops.append(b"1 0 0 1 50.00 %.2f Tm (%s) Tj" % (y, title.encode("latin-1")))
+        y -= 40.0
+    for label, value in fields.items():
+        ops.append(b"1 0 0 1 50.00 %.2f Tm (%s) Tj" % (y, label.encode("latin-1")))
+        ops.append(
+            b"1 0 0 1 50.00 %.2f Tm (%s) Tj" % (y - 16.0, str(value).encode("latin-1"))
+        )
+        y -= 60.0
+    ops.append(b"ET")
+    content = zlib.compress(b"\n".join(ops))
+    objs: List[bytes] = [
+        b"1 0 obj << /Type/Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type/Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type/Page /Parent 2 0 R /MediaBox [0 0 %d %d] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 99 0 R >> >> >> endobj"
+        % (int(pw), int(ph)),
+        b"4 0 obj << /Length %d /Filter /FlateDecode >> stream\n%s\nendstream endobj"
+        % (len(content), content),
+    ]
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
 
 
 # ---------------------------------------------------------------------------

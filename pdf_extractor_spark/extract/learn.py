@@ -48,7 +48,8 @@ CANDIDATE_TYPE = ArrayType(
 
 
 def _learn_one(
-    spans: Any, pw: float, ph: float, schema: Any, values: Any
+    spans: Any, pw: float, ph: float, schema: Any, values: Any,
+    derive_only: bool = False,
 ) -> List[Dict[str, Any]]:
     doc = engine.doc_from_spans(
         [] if spans is None else list(spans), float(pw or 0), float(ph or 0)
@@ -61,7 +62,8 @@ def _learn_one(
         known = values_d.get(field)
         if known:  # U7: ground truth available → derive from the value
             row = engine.derive_heuristic_for_value(doc, field, known)
-        if row is None:  # U6: anchor learning from the field name/description
+        if row is None and not derive_only:
+            # U6: anchor learning from the field name/description
             _, row, found = engine.learn_from_anchor(doc, field, desc or "")
             if not found:
                 row = None
@@ -80,33 +82,48 @@ def _learn_one(
     return out
 
 
-@pandas_udf(CANDIDATE_TYPE)
-def learn_candidates_udf(
-    spans: pd.Series, pw: pd.Series, ph: pd.Series,
-    schema: pd.Series, values: pd.Series,
-) -> pd.Series:
-    return pd.Series(
-        [
-            _learn_one(sp, w, h, sc, va)
-            for sp, w, h, sc, va in zip(spans, pw, ph, schema, values)
-        ]
-    )
+def _make_learn_udf(derive_only: bool):
+    @pandas_udf(CANDIDATE_TYPE)
+    def learn_candidates_udf(
+        spans: pd.Series, pw: pd.Series, ph: pd.Series,
+        schema: pd.Series, values: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                _learn_one(sp, w, h, sc, va, derive_only=derive_only)
+                for sp, w, h, sc, va in zip(spans, pw, ph, schema, values)
+            ]
+        )
+
+    return learn_candidates_udf
 
 
-def learn_kb(docs: DataFrame, values_col: Optional[str] = None) -> DataFrame:
+learn_candidates_udf = _make_learn_udf(derive_only=False)
+
+
+def learn_kb(
+    docs: DataFrame, values_col: Optional[str] = None, derive_only: bool = False
+) -> DataFrame:
     """docs(doc_id, label, extraction_schema, ordered_spans, page_width,
     page_height[, <values_col> map<field,string>]) → KB_SCHEMA table.
 
     Deterministic: per (label, field) the winner is the max-confidence
-    candidate, ties broken by earliest doc_id."""
+    candidate, ties broken by earliest doc_id.
+
+    ``derive_only=True`` is the adaptive-repair mode (O2,
+    extractor.py:733-738): a rule is emitted ONLY when it can be derived
+    from the adjudicated value (U7); the U6 anchor-name fallback is off so
+    a failed derivation leaves the existing KB rule in place instead of
+    replacing it with a name-probe guess."""
     values = F.col(values_col) if values_col else F.lit(None).cast(
         "map<string,string>"
     )
+    udf = _make_learn_udf(derive_only) if derive_only else learn_candidates_udf
     cands = docs.select(
         "doc_id",
         "label",
         F.explode(
-            learn_candidates_udf(
+            udf(
                 F.col("ordered_spans"),
                 F.col("page_width"),
                 F.col("page_height"),

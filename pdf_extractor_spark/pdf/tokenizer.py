@@ -8,11 +8,15 @@ scale, so this is a from-scratch reimplementation of the subset of the PDF
 imaging model the corpus needs).
 
 Supported (validated against all six reference fixtures plus synthetic
-corpora): FlateDecode streams, literal strings with octal/char escapes,
-WinAnsi/Latin-1 text, ``BT/ET``, ``Tf``, ``Tm/Td/TD/T*/TL``, ``Tj/TJ/'/"``,
-graphics-state stack ``q/Q/cm``, and ``/Name Do`` for image XObjects.
-Unsupported constructs degrade gracefully (span list may be partial; never
-raises).
+corpora): Flate/LZW/ASCIIHex streams incl. TIFF+PNG ``/Predictor``
+post-filters, literal strings with octal/char escapes, hex strings with a
+multi-byte-CID guard (UTF-16BE BOM honored; glyph-index runs suppressed
+rather than mojibake'd), WinAnsi/Latin-1 text, ``BT/ET``, ``Tf``,
+``Tm/Td/TD/T*/TL``, ``Tc/Tw/Tz`` spacing in width estimates, ``Tj/TJ/'/"``,
+graphics-state stack ``q/Q/cm``, ``/Name Do`` for image XObjects, page
+``/Rotate``, and all three ``/Contents`` forms (single ref, inline array,
+ref-to-array-object). Unsupported constructs degrade gracefully (span list
+may be partial; never raises).
 
 This module is deliberately free of any Spark import so it can run inside
 Arrow ``pandas_udf`` batches (see :mod:`pdf_extractor_spark.pdf.udf`) and in
@@ -163,9 +167,84 @@ def _resolve_ref(raw: bytes) -> Optional[int]:
     return int(m.group(1)) if m else None
 
 
+def _apply_predictor(
+    data: bytes, predictor: int, columns: int, colors: int, bpc: int
+) -> Optional[bytes]:
+    """Undo the /Predictor post-filter (PDF 32000-1 §7.4.4.4).
+
+    PNG predictors (≥10): each row is 1 filter-tag byte + row data; tags
+    0-4 = None/Sub/Up/Average/Paeth, applied bytewise with pixel stride.
+    TIFF predictor 2 (8-bit only): horizontal differencing."""
+    if predictor <= 1:
+        return data
+    stride = max((colors * bpc) // 8, 1)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if predictor == 2:
+        if bpc != 8:
+            return None
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r + stride, r + rowlen):
+                out[i] = (out[i] + out[i - stride]) & 0xFF
+        return bytes(out)
+    # PNG family
+    out = bytearray()
+    prev_row = bytearray(rowlen)
+    i, n = 0, len(data)
+    while i < n:
+        tag = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        if len(row) < rowlen:
+            row.extend(b"\x00" * (rowlen - len(row)))
+        i += 1 + rowlen
+        if tag == 1:  # Sub
+            for j in range(stride, rowlen):
+                row[j] = (row[j] + row[j - stride]) & 0xFF
+        elif tag == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev_row[j]) & 0xFF
+        elif tag == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - stride] if j >= stride else 0
+                row[j] = (row[j] + ((left + prev_row[j]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - stride] if j >= stride else 0
+                b = prev_row[j]
+                c = prev_row[j - stride] if j >= stride else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        elif tag != 0:
+            return None
+        out += row
+        prev_row = row
+    return bytes(out)
+
+
+_PARM_RE = {
+    key: re.compile(rb"/" + key + rb"\s+(\d+)")
+    for key in (b"Predictor", b"Columns", b"Colors", b"BitsPerComponent")
+}
+
+
+def _predictor_parms(dict_bytes: bytes) -> Tuple[int, int, int, int]:
+    """(predictor, columns, colors, bpc) from /DecodeParms, with defaults."""
+
+    def get(key: bytes, default: int) -> int:
+        m = _PARM_RE[key].search(dict_bytes)
+        return int(m.group(1)) if m else default
+
+    return (
+        get(b"Predictor", 1), get(b"Columns", 1),
+        get(b"Colors", 1), get(b"BitsPerComponent", 8),
+    )
+
+
 def _lzw_decode(data: bytes) -> Optional[bytes]:
     """PDF LZWDecode (EarlyChange=1, 9→12-bit variable codes; 256=clear,
-    257=EOD). Predictors are not supported (caller checks)."""
+    257=EOD). Predictors are handled by the caller (_decode_stream)."""
     out = bytearray()
     base = {i: bytes([i]) for i in range(256)}
     table = dict(base)
@@ -205,19 +284,26 @@ def _lzw_decode(data: bytes) -> Optional[bytes]:
     return bytes(out)
 
 
+def _post_predict(dict_bytes: bytes, decoded: Optional[bytes]) -> Optional[bytes]:
+    if decoded is None or b"/Predictor" not in dict_bytes:
+        return decoded
+    pred, cols, colors, bpc = _predictor_parms(dict_bytes)
+    return _apply_predictor(decoded, pred, cols, colors, bpc)
+
+
 def _decode_stream(dict_bytes: bytes, stream: bytes) -> Optional[bytes]:
     if b"/FlateDecode" in dict_bytes:
         try:
-            return zlib.decompress(stream)
+            return _post_predict(dict_bytes, zlib.decompress(stream))
         except zlib.error:
             try:  # tolerate truncated trailing checksum
-                return zlib.decompressobj().decompress(stream)
+                return _post_predict(
+                    dict_bytes, zlib.decompressobj().decompress(stream)
+                )
             except zlib.error:
                 return None
     if b"/LZWDecode" in dict_bytes:
-        if b"/Predictor" in dict_bytes:
-            return None  # predictor post-filter unsupported → graceful skip
-        return _lzw_decode(stream)
+        return _post_predict(dict_bytes, _lzw_decode(stream))
     if b"/ASCIIHexDecode" in dict_bytes:
         body = stream.split(b">")[0]
         hexdigits = re.sub(rb"\s", b"", body)
@@ -282,6 +368,35 @@ def _decode_pdf_string(raw: bytes) -> str:
         return out.decode("latin-1")
 
 
+_CTRL = set(range(0x00, 0x20)) - {0x09, 0x0A, 0x0D}
+
+
+def _decode_hex_string(raw: bytes) -> str:
+    """Hex-string bytes → text, with a multi-byte-CID guard.
+
+    Single-byte simple-font codes decode as WinAnsi like literal strings.
+    Type0/CID fonts put 2-byte glyph indexes in hex strings — those are NOT
+    character codes and decoding them as cp1252 produces mojibake that
+    would poison the normalized-text index. Guards, in order:
+
+    * UTF-16BE BOM → decode as UTF-16BE (the one self-identifying case);
+    * a high fraction of control bytes after cp1252 decode (CID indexes
+      are small integers, so every other byte tends to be 0x00-0x1F) →
+      treat as unparsable glyph indexes and emit no text (graceful-partial
+      contract) rather than garbage."""
+    if not raw:
+        return ""
+    if raw[:2] == b"\xfe\xff":
+        try:
+            return raw[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return ""
+    n_ctrl = sum(1 for b in raw if b in _CTRL)
+    if n_ctrl and n_ctrl / len(raw) > 0.2:
+        return ""
+    return raw.decode("cp1252", "replace")
+
+
 # --- content-stream tokenizer ----------------------------------------------
 
 _TOKEN_RE = re.compile(
@@ -323,6 +438,9 @@ def _run_content(content: bytes, image_xobjects: Dict[str, Tuple[float, float]])
     tlm = _IDENTITY
     leading = 0.0
     font_size = 0.0
+    char_spacing = 0.0  # Tc — added per glyph (PDF 32000-1 §9.3.2)
+    word_spacing = 0.0  # Tw — added per byte-32 space (§9.3.3)
+    hscale = 1.0        # Tz/100 — horizontal scaling (§9.3.4)
     in_text = False
     stack: List[Any] = []  # operand stack (numbers, strings, names, arrays)
     arr_stack: List[List[Any]] = []
@@ -340,7 +458,17 @@ def _run_content(content: bytes, image_xobjects: Dict[str, Tuple[float, float]])
         x, y = m[4], m[5]
         eff_size = font_size * abs(m[3]) if m[3] else font_size
         sz = eff_size or font_size
+        # glyph widths + Tc per glyph + Tw per space, all scaled by Tz —
+        # §9.4.4's advance formula restricted to the upright case. These
+        # bound the anchor windows (±2..300pt tolerances), so tracked
+        # spacing keeps wide-kerned runs from under-reporting their extent.
         w = _text_width(text, sz)
+        if char_spacing:
+            w += char_spacing * len(text)
+        if word_spacing:
+            w += word_spacing * text.count(" ")
+        if hscale != 1.0:
+            w *= hscale
         # y0 is the Tm baseline (the reading-order sort key, FIXTURES.md §4);
         # y1 = baseline + ascender (0.8 em, base-14 Helvetica). The kernel
         # adds the 0.2 em descender when building device-space glyph boxes.
@@ -397,10 +525,9 @@ def _run_content(content: bytes, image_xobjects: Dict[str, Tuple[float, float]])
             if len(hexdigits) % 2:
                 hexdigits += b"0"
             try:
-                val = bytes.fromhex(hexdigits.decode("ascii")).decode("cp1252", "replace")
+                cur.append(_decode_hex_string(bytes.fromhex(hexdigits.decode("ascii"))))
             except ValueError:
-                val = ""
-            cur.append(val)
+                cur.append("")
         else:  # operator
             op = tok.decode("latin-1")
             try:
@@ -420,6 +547,12 @@ def _run_content(content: bytes, image_xobjects: Dict[str, Tuple[float, float]])
                     font_size = float(stack[-1])
                 elif op == "TL" and stack:
                     leading = float(stack[-1])
+                elif op == "Tc" and stack:
+                    char_spacing = float(stack[-1])
+                elif op == "Tw" and stack:
+                    word_spacing = float(stack[-1])
+                elif op == "Tz" and stack:
+                    hscale = float(stack[-1]) / 100.0
                 elif op == "Tm" and len(stack) >= 6:
                     tm = tlm = tuple(stack[-6:])
                 elif op == "Td" and len(stack) >= 2:
@@ -441,6 +574,9 @@ def _run_content(content: bytes, image_xobjects: Dict[str, Tuple[float, float]])
                     tm = tlm
                     emit_text(string_parts(stack[-1]))
                 elif op == '"' and len(stack) >= 3 and in_text:
+                    # aw ac (string) " — sets Tw and Tc, then shows (§9.4.3)
+                    word_spacing = float(stack[-3])
+                    char_spacing = float(stack[-2])
                     tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
                     tm = tlm
                     emit_text(string_parts(stack[-1]))
@@ -531,21 +667,86 @@ def _image_xobjects(page_dict: bytes, objects) -> Dict[str, Tuple[float, float]]
 
 
 def _page_content(page_dict: bytes, objects) -> bytes:
+    """Collect the page's content stream(s) in order.
+
+    /Contents is one of (PDF 32000-1 §7.7.3.3, table 30):
+      * a single stream ref ``N 0 R``;
+      * an inline array ``[N 0 R M 0 R ...]``;
+      * a ref to an ARRAY OBJECT whose body is ``[N 0 R ...]``.
+    The old head-scan + ``lstrip()[:1] != b'['`` heuristic misparsed odd
+    whitespace and the array-behind-a-ref form; this walks the value
+    token-exactly instead."""
     raw = _dict_value(page_dict, b"Contents")
     if raw is None:
         return b""
+    val = raw.lstrip()
+    refs: List[int] = []
+    if val[:1] == b"[":
+        end = val.find(b"]")
+        refs = [int(m.group(1)) for m in _REF_RE.finditer(val[: end if end > 0 else len(val)])]
+    else:
+        m = _REF_RE.match(val)
+        if m:
+            ref = int(m.group(1))
+            target = objects.get(ref)
+            if target is not None and target[1] is None and target[0].lstrip()[:1] == b"[":
+                # ref → array object of stream refs
+                body = target[0].lstrip()
+                end = body.find(b"]")
+                refs = [
+                    int(mm.group(1))
+                    for mm in _REF_RE.finditer(body[: end if end > 0 else len(body)])
+                ]
+            else:
+                refs = [ref]
     parts: List[bytes] = []
-    # Contents may be one ref or an array of refs; collect in order.
-    head = raw[: raw.find(b"/") if raw.find(b"/") > 0 else 256]
-    for m in _REF_RE.finditer(head):
-        ref = int(m.group(1))
+    for ref in refs:
         if ref in objects and objects[ref][1] is not None:
             dec = _decode_stream(objects[ref][0], objects[ref][1])
             if dec:
                 parts.append(dec)
-        if raw.lstrip()[:1] != b"[":  # single ref → stop after first
-            break
     return b"\n".join(parts)
+
+
+def _page_rotation(page_dict: bytes) -> int:
+    raw = _dict_value(page_dict, b"Rotate")
+    if raw is None:
+        return 0
+    m = re.match(rb"\s*(-?\d+)", raw)
+    if not m:
+        return 0
+    return int(m.group(0)) % 360 // 90 * 90
+
+
+def _apply_rotation(
+    spans: List[PdfSpan], rot: int, pw: float, ph: float
+) -> Tuple[List[PdfSpan], float, float]:
+    """Map spans into the displayed (rotated) page frame, bottom-up coords.
+
+    /Rotate r = "rotated clockwise by r when displayed" (§7.7.3.3). With
+    bottom-up user coords on a W×H page:
+      90°:  (x, y) → (y, W − x), page becomes H×W
+      180°: (x, y) → (W − x, H − y)
+      270°: (x, y) → (H − y, x), page becomes H×W
+    Reading order downstream sorts the ROTATED frame — matching what a
+    viewer (and PyMuPDF's sorted text extraction) presents."""
+    if rot == 0 or not rot:
+        return spans, pw, ph
+
+    def remap(s: PdfSpan) -> PdfSpan:
+        x0, y0, x1, y1 = s["x0"], s["y0"], s["x1"], s["y1"]
+        if rot == 90:
+            nx0, ny0, nx1, ny1 = y0, pw - x1, y1, pw - x0
+        elif rot == 180:
+            nx0, ny0, nx1, ny1 = pw - x1, ph - y1, pw - x0, ph - y0
+        else:  # 270
+            nx0, ny0, nx1, ny1 = ph - y1, x0, ph - y0, x1
+        out = dict(s)
+        out.update({"x0": nx0, "y0": ny0, "x1": nx1, "y1": ny1})
+        return out
+
+    new_pw, new_ph = (ph, pw) if rot in (90, 270) else (pw, ph)
+    return [remap(s) for s in spans], new_pw, new_ph
 
 
 def tokenize_pdf(data: bytes) -> Dict[str, Any]:
@@ -566,10 +767,14 @@ def tokenize_pdf(data: bytes) -> Dict[str, Any]:
         page_dict = objects[page][0]
         pw, ph = _media_box(page_dict, objects)
         images = _image_xobjects(page_dict, objects)
+        rot = _page_rotation(page_dict)
         content = _page_content(page_dict, objects)
         if not content:
+            if rot in (90, 270):
+                pw, ph = ph, pw
             return {"page_width": pw, "page_height": ph, "spans": []}
         spans = _run_content(content, images)
+        spans, pw, ph = _apply_rotation(spans, rot, pw, ph)
         return {"page_width": pw, "page_height": ph, "spans": spans}
     except Exception:
         return empty

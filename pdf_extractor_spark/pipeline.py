@@ -219,8 +219,10 @@ def extract_spans(
             "doc_id", "content_hash", "page_width", "page_height",
             "spans", *extra,
         )
+    # no skew_repartition here: the groupBy exchange already distributed
+    # rows by content_hash (uniform), so a second repartition on the same
+    # key would be a pure extra shuffle — "one shuffle total" holds
     distinct = dedup_with_lineage(df)
-    distinct = skew_repartition(distinct, partitions)
     tokenized = tokenize_stage(distinct, columns=columns).select(
         "content_hash", "doc_ids", "page_width", "page_height",
         "spans", *extra,
@@ -246,15 +248,34 @@ def run_extraction_job(
 
     Output layout (Iceberg-shaped parquet; catalog wiring is a config flag
     when an Iceberg runtime is present):
-      {output_dir}/spans/        doc_id, spans (public contract)
-      {output_dir}/checkpoint/   CHECKPOINT_SCHEMA rows, one per doc
-    Resumable: rerunning with the same output_dir skips committed docs.
+      {output_dir}/spans/run_id=<id>/   doc_id, spans (public contract),
+                                        partition_id of the writing task
+      {output_dir}/checkpoint/          CHECKPOINT_SCHEMA rows, one per doc
+    Resumable: rerunning with the same output_dir first reconciles any
+    crashed run (partial run dirs removed; durable-but-uncommitted runs
+    adopted into lineage — never re-extracted, never duplicated), then
+    anti-joins committed docs. If nothing is left to do the run directory
+    is not touched (a retry after a successful commit must not erase it).
     """
-    from pdf_extractor_spark.checkpoint import read_checkpoint, write_checkpoint
+    from pdf_extractor_spark.checkpoint import (
+        read_checkpoint, reconcile_checkpoint, spans_run_path, write_checkpoint,
+    )
 
     run_id = run_id or uuid.uuid4().hex
     docs = spark.read.parquet(input_path)
-    ckpt = read_checkpoint(spark, output_dir) if resume else None
+    t0 = time.time()
+    ckpt = None
+    if resume:
+        reconcile_checkpoint(spark, output_dir)
+        ckpt = read_checkpoint(spark, output_dir)
+    if ckpt is not None:
+        done = ckpt.where(F.col("status") == "committed").select("doc_id")
+        todo = docs.join(done, "doc_id", "left_anti")
+        if todo.isEmpty():
+            return {
+                "run_id": run_id, "docs": 0, "seconds": time.time() - t0,
+                "docs_per_sec": 0.0, "metrics": {"docs": 0},
+            }
     # spans-only job → push the public projection into the kernel (geometry
     # and full_text never cross Arrow; full_text is derivable from spans).
     result = extract_spans(
@@ -265,6 +286,8 @@ def run_extraction_job(
         "content_hash",
         "spans",
         F.size("spans").alias("span_count"),
+        # the WRITING task's partition — recorded into lineage verbatim
+        F.spark_partition_id().alias("partition_id"),
     )
     # A3/A5 run counters ride the job itself via observe() — no second pass
     # over the data (the reference increments its stats dict per doc,
@@ -279,11 +302,11 @@ def run_extraction_job(
         F.sum(F.when(F.col("span_count") == 0, 1).otherwise(0)).alias("empty_docs"),
         F.approx_count_distinct("content_hash").alias("approx_distinct"),
     )
-    t0 = time.time()
-    spans_path = os.path.join(output_dir, "spans")
-    out.write.mode("append").parquet(spans_path)
+    # overwrite makes a mid-write retry of the SAME run idempotent (partial
+    # files from the failed attempt are replaced, not appended to)
+    out.write.mode("overwrite").parquet(spans_run_path(output_dir, run_id))
     metrics = dict(obs.get)
-    n_docs = write_checkpoint(spark, output_dir, run_id, spans_path)
+    n_docs = write_checkpoint(spark, output_dir, run_id)
     elapsed = time.time() - t0
     metrics_rows = [
         (run_id, k, float(v if v is not None else 0)) for k, v in metrics.items()

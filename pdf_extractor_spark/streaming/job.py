@@ -65,22 +65,37 @@ def run_stream_extraction(
     with the same output_dir skips already-committed batches (Spark source
     checkpoint) AND already-committed docs (lineage anti-join — belt and
     braces, since foreachBatch is at-least-once on retry)."""
-    from pdf_extractor_spark.checkpoint import read_checkpoint, write_checkpoint
+    from pdf_extractor_spark.checkpoint import (
+        read_checkpoint, reconcile_checkpoint, spans_run_path, write_checkpoint,
+    )
 
     stream = read_doc_stream(spark, input_path, max_files_per_trigger)
-    spans_path = os.path.join(output_dir, "spans")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # reconcile first: a foreachBatch retry that died between the spans
+        # commit and the lineage commit must adopt the durable run, not
+        # re-extract it (the at-least-once crash window)
+        reconcile_checkpoint(spark, output_dir)
         ckpt = read_checkpoint(spark, output_dir)
-        result = extract_spans(batch_df, partitions=partitions, checkpoint=ckpt)
+        batch_run = f"{run_id}_b{batch_id}"
+        if ckpt is not None:
+            done = ckpt.where(F.col("status") == "committed").select("doc_id")
+            if batch_df.join(done, "doc_id", "left_anti").isEmpty():
+                return  # fully committed batch — never touch its run dir
+        # spans-only sink → kernel-level projection pushdown, same as the
+        # batch path (geometry/full_text never cross Arrow)
+        result = extract_spans(
+            batch_df, partitions=partitions, checkpoint=ckpt, columns="public"
+        )
         out = result.select(
             "doc_id",
             "content_hash",
             "spans",
             F.size("spans").alias("span_count"),
+            F.spark_partition_id().alias("partition_id"),
         )
-        out.write.mode("append").parquet(spans_path)
-        write_checkpoint(spark, output_dir, f"{run_id}_b{batch_id}", spans_path)
+        out.write.mode("overwrite").parquet(spans_run_path(output_dir, batch_run))
+        write_checkpoint(spark, output_dir, batch_run)
 
     query = (
         stream.writeStream.foreachBatch(process_batch)

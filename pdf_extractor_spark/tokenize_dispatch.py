@@ -27,6 +27,7 @@ byte-identical span sequences (golden-tested on the reference fixtures).
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Any, Dict
 
@@ -54,9 +55,19 @@ def _null_low(v):  # SQL NULLS FIRST under ascending order
     return (0, "") if v is None else (1, v)
 
 
+def _round2(v: float) -> float:
+    """HALF_UP to 2 decimals — Spark's F.round/BigDecimal semantics. Python
+    round() is banker's (round(700.125, 2) == 700.12 vs Spark's 700.13), so
+    using it here could order spans differently from assemble.ordered_spans
+    on exactly-representable halfway coordinates. Coordinates are
+    non-negative (PDF user space / HTML layout), so floor(x·100+0.5) is
+    exact HALF_UP."""
+    return math.floor(v * 100.0 + 0.5) / 100.0
+
+
 def _sort_key(s: Dict[str, Any]):
     return (
-        -round(s["y0"], 2), round(s["x0"], 2), s["kind"],
+        -_round2(s["y0"]), _round2(s["x0"]), s["kind"],
         _null_low(s["text"]), _null_low(s["media_ref"]),
         s["x0"], s["y0"], s["x1"], s["y1"], s["size"],
     )

@@ -52,3 +52,54 @@ def test_partial_run_then_resume_equals_clean_run(spark, tmp_path):
     # a third restart is a no-op
     s3 = run_extraction_job(spark, docs_path, killed_dir, run_id="k3", partitions=4)
     assert s3["docs"] == 0
+
+
+def test_crash_between_spans_and_checkpoint_reconciles(spark, tmp_path):
+    """The at-least-once crash window: spans durably committed, lineage
+    never written. The resume must ADOPT the orphaned run (no
+    re-extraction, no duplicate doc_ids), not redo it."""
+    import shutil
+
+    from pdf_extractor_spark.checkpoint import checkpoint_path, read_checkpoint
+
+    docs_path = str(tmp_path / "docs")
+    generate_corpus(spark, 40, partitions=4).write.parquet(docs_path)
+    out_dir = str(tmp_path / "out")
+    run_extraction_job(spark, docs_path, out_dir, run_id="r1", partitions=4)
+
+    # simulate the crash: spans/run_id=r1 is durable, lineage vanished
+    shutil.rmtree(checkpoint_path(out_dir))
+
+    s2 = run_extraction_job(spark, docs_path, out_dir, run_id="r2", partitions=4)
+    assert s2["docs"] == 0  # adopted, not re-extracted
+    spans = spark.read.parquet(os.path.join(out_dir, "spans"))
+    assert spans.count() == 40
+    assert spans.select("doc_id").distinct().count() == 40  # no duplicates
+    ckpt = read_checkpoint(spark, out_dir)
+    assert ckpt.where(F.col("status") == "committed").count() == 40
+    # lineage partition ids are the writing tasks', not a reader artifact
+    assert ckpt.where(F.col("partition_id") >= 0).count() == 40
+
+
+def test_partial_spans_write_cleaned_and_redone(spark, tmp_path):
+    """A run directory without _SUCCESS (killed mid-write) is junk: the
+    resume removes it and re-extracts its docs cleanly."""
+    docs_path = str(tmp_path / "docs")
+    generate_corpus(spark, 20, partitions=2).write.parquet(docs_path)
+    out_dir = str(tmp_path / "out")
+
+    # fabricate a partial run dir: parquet files present, no _SUCCESS
+    partial = os.path.join(out_dir, "spans", "run_id=dead")
+    scratch = str(tmp_path / "scratch")
+    os.makedirs(partial)
+    spark.range(3).write.mode("overwrite").parquet(scratch)
+    for f in os.listdir(scratch):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(scratch, f), os.path.join(partial, f))
+
+    s = run_extraction_job(spark, docs_path, out_dir, run_id="r1", partitions=2)
+    assert s["docs"] == 20
+    assert not os.path.isdir(partial)  # junk removed
+    spans = spark.read.parquet(os.path.join(out_dir, "spans"))
+    assert spans.count() == 20
+    assert spans.select("doc_id").distinct().count() == 20

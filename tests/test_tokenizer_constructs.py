@@ -1,0 +1,262 @@
+"""Coverage tests for general-PDF constructs beyond the fixture class:
+Tc/Tw/Tz spacing, page /Rotate, the three /Contents forms, multi-byte CID
+hex-string guards, and Flate/LZW /Predictor post-filters.
+
+Each test builds a minimal valid PDF exercising exactly one construct —
+no external data, all bytes synthesized inline."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from pdf_extractor_spark.pdf.tokenizer import (
+    _apply_predictor, _decode_hex_string, _lzw_decode, tokenize_pdf,
+)
+
+
+def _pdf(content_ops: bytes, extra_objs: list[bytes] | None = None,
+         page_extra: bytes = b"", contents_val: bytes = b"4 0 R",
+         compress: bool = True, filter_entry: bytes = b"/Filter /FlateDecode") -> bytes:
+    stream = zlib.compress(content_ops) if compress else content_ops
+    objs = [
+        b"1 0 obj << /Type/Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type/Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type/Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents " + contents_val + b" " + page_extra +
+        b" /Resources << /Font << /F1 9 0 R >> >> >> endobj",
+        b"4 0 obj << /Length %d %s >> stream\n%s\nendstream endobj"
+        % (len(stream), filter_entry, stream),
+    ] + (extra_objs or [])
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+
+
+BASIC = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (hello) Tj ET"
+
+
+def _texts(result):
+    return [(s["text"], round(s["x0"], 1), round(s["y0"], 1))
+            for s in result["spans"] if s["kind"] == "text"]
+
+
+# --- Tc / Tw / Tz -----------------------------------------------------------
+
+
+def test_tz_scales_width():
+    plain = tokenize_pdf(_pdf(BASIC))["spans"][0]
+    scaled = tokenize_pdf(_pdf(
+        b"BT /F1 10 Tf 200 Tz 1 0 0 1 50 700 Tm (hello) Tj ET"))["spans"][0]
+    assert scaled["x1"] - scaled["x0"] == pytest.approx(
+        2.0 * (plain["x1"] - plain["x0"]))
+
+
+def test_tc_adds_char_spacing():
+    plain = tokenize_pdf(_pdf(BASIC))["spans"][0]
+    spaced = tokenize_pdf(_pdf(
+        b"BT /F1 10 Tf 3 Tc 1 0 0 1 50 700 Tm (hello) Tj ET"))["spans"][0]
+    assert spaced["x1"] - spaced["x0"] == pytest.approx(
+        (plain["x1"] - plain["x0"]) + 3.0 * 5)
+
+
+def test_tw_adds_word_spacing():
+    two = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (a b) Tj ET"
+    plain = tokenize_pdf(_pdf(two))["spans"][0]
+    spaced = tokenize_pdf(_pdf(
+        b"BT /F1 10 Tf 7 Tw 1 0 0 1 50 700 Tm (a b) Tj ET"))["spans"][0]
+    assert spaced["x1"] - spaced["x0"] == pytest.approx(
+        (plain["x1"] - plain["x0"]) + 7.0)
+
+
+def test_quote_op_sets_tw_tc():
+    # aw ac (str) " — sets word+char spacing, then shows
+    plain = tokenize_pdf(_pdf(b'BT /F1 10 Tf 14 TL 1 0 0 1 50 700 Tm (a b) \' ET'))
+    quoted = tokenize_pdf(_pdf(b'BT /F1 10 Tf 14 TL 1 0 0 1 50 700 Tm 5 2 (a b) " ET'))
+    w_plain = plain["spans"][0]["x1"] - plain["spans"][0]["x0"]
+    w_quoted = quoted["spans"][0]["x1"] - quoted["spans"][0]["x0"]
+    assert w_quoted == pytest.approx(w_plain + 5.0 + 2.0 * 3)
+
+
+# --- /Rotate ----------------------------------------------------------------
+
+
+def test_rotate_90_remaps_frame_and_order():
+    # clockwise rotation sends the LEFT edge to the top: "left" (x=100)
+    # must sort above "right" (x=500) in the rotated frame
+    ops = (b"BT /F1 10 Tf "
+           b"1 0 0 1 500 100 Tm (right) Tj "
+           b"1 0 0 1 100 100 Tm (left) Tj ET")
+    res = tokenize_pdf(_pdf(ops, page_extra=b"/Rotate 90"))
+    assert (res["page_width"], res["page_height"]) == (792.0, 612.0)
+    spans = sorted(res["spans"], key=lambda s: (-s["y0"], s["x0"]))
+    assert [s["text"] for s in spans] == ["left", "right"]
+    # (x, y) → (y, W − x): both spans keep x' = y = 100
+    assert spans[0]["x0"] == pytest.approx(100.0)
+    assert spans[1]["x0"] == pytest.approx(100.0)
+
+
+def test_rotate_180_remaps():
+    res = tokenize_pdf(_pdf(BASIC, page_extra=b"/Rotate 180"))
+    assert (res["page_width"], res["page_height"]) == (612.0, 792.0)
+    s = res["spans"][0]
+    assert s["y0"] == pytest.approx(792 - 700 - 0.8 * 10)  # ph − y1(user)
+    assert s["x1"] == pytest.approx(612 - 50)
+
+
+def test_rotate_270_remaps():
+    res = tokenize_pdf(_pdf(BASIC, page_extra=b"/Rotate 270"))
+    assert (res["page_width"], res["page_height"]) == (792.0, 612.0)
+    s = res["spans"][0]
+    # (x, y) → (H − y, x)
+    assert s["x1"] == pytest.approx(792 - 700)
+    assert s["y0"] == pytest.approx(50.0)
+
+
+def test_rotate_0_unchanged():
+    r0 = tokenize_pdf(_pdf(BASIC))
+    r360 = tokenize_pdf(_pdf(BASIC, page_extra=b"/Rotate 360"))
+    assert _texts(r0) == _texts(r360)
+
+
+# --- /Contents forms --------------------------------------------------------
+
+
+def _stream_obj(num: int, ops: bytes) -> bytes:
+    s = zlib.compress(ops)
+    return b"%d 0 obj << /Length %d /Filter /FlateDecode >> stream\n%s\nendstream endobj" % (
+        num, len(s), s)
+
+
+def test_contents_inline_array_in_order():
+    o5 = _stream_obj(5, b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (one) Tj ET")
+    o6 = _stream_obj(6, b"BT /F1 10 Tf 1 0 0 1 50 600 Tm (two) Tj ET")
+    pdf = _pdf(b"", extra_objs=[o5, o6], contents_val=b"[ 5 0 R 6 0 R ]")
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["one", "two"]
+
+
+def test_contents_array_with_odd_whitespace():
+    o5 = _stream_obj(5, b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (ws) Tj ET")
+    pdf = _pdf(b"", extra_objs=[o5], contents_val=b"\n\t [\r\n5 0 R\n]")
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["ws"]
+
+
+def test_contents_ref_to_array_object():
+    o5 = _stream_obj(5, b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (via) Tj ET")
+    o6 = _stream_obj(6, b"BT /F1 10 Tf 1 0 0 1 50 600 Tm (refarr) Tj ET")
+    arr = b"7 0 obj [ 5 0 R 6 0 R ] endobj"
+    pdf = _pdf(b"", extra_objs=[o5, o6, arr], contents_val=b"7 0 R")
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["via", "refarr"]
+
+
+# --- hex strings / CID guard ------------------------------------------------
+
+
+def test_hex_string_single_byte_winansi():
+    # <68656C6C6F> = 'hello' in single-byte codes
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <68656C6C6F> Tj ET"
+    assert [t for t, _, _ in _texts(tokenize_pdf(_pdf(ops)))] == ["hello"]
+
+
+def test_hex_string_utf16_bom():
+    # FEFF + UTF-16BE 'hi'
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <FEFF00680069> Tj ET"
+    assert [t for t, _, _ in _texts(tokenize_pdf(_pdf(ops)))] == ["hi"]
+
+
+def test_hex_string_cid_glyph_indexes_suppressed():
+    # 2-byte CID glyph indexes (<0041 0042 ...> style runs) decode to
+    # control-byte-ridden cp1252 garbage — the guard must emit NO text
+    # rather than mojibake
+    assert _decode_hex_string(b"\x00\x41\x00\x42\x00\x43") == ""
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <000100020003> Tj ET"
+    assert _texts(tokenize_pdf(_pdf(ops))) == []
+
+
+# --- predictors -------------------------------------------------------------
+
+
+def _png_up_encode(data: bytes, rowlen: int) -> bytes:
+    """PNG Up (tag 2) filter encoder for test input."""
+    out = bytearray()
+    prev = bytes(rowlen)
+    for r in range(0, len(data), rowlen):
+        row = data[r : r + rowlen]
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+def test_png_predictor_roundtrip():
+    payload = bytes(range(48)) * 2
+    enc = _png_up_encode(payload, 12)
+    assert _apply_predictor(enc, 12, 12, 1, 8) == payload
+
+
+def test_tiff_predictor_roundtrip():
+    payload = b"ABCDABCDABCD"
+    # TIFF pred 2: encode = horizontal difference
+    enc = bytearray(payload)
+    for i in range(len(enc) - 1, 0, -1):
+        enc[i] = (enc[i] - enc[i - 1]) & 0xFF
+    assert _apply_predictor(bytes(enc), 2, len(payload), 1, 8) == payload
+
+
+def test_flate_with_png_predictor_content_stream():
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (pred) Tj ET"
+    rowlen = 10
+    padded = ops + b" " * ((rowlen - len(ops) % rowlen) % rowlen)
+    enc = zlib.compress(_png_up_encode(padded, rowlen))
+    pdf = _pdf(
+        enc, compress=False,
+        filter_entry=b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 10 >>",
+    )
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["pred"]
+
+
+def test_lzw_with_predictor_no_longer_skipped():
+    # minimal LZW stream: encode via known-good encoder-in-test
+    def lzw_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        next_code, width = 258, 9
+        out, buf, nbits = bytearray(), 0, 0
+
+        def put(code: int):
+            nonlocal buf, nbits
+            buf = (buf << width) | code
+            nbits += width
+            while nbits >= 8:
+                out.append((buf >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+
+        put(256)
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+            else:
+                put(table[w])
+                table[wc] = next_code
+                next_code += 1
+                if next_code + 1 > (1 << width) and width < 12:
+                    width += 1
+                w = bytes([ch])
+        if w:
+            put(table[w])
+        put(257)
+        if nbits:
+            out.append((buf << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    payload = b"ABCDABCDABCD"
+    enc = bytearray(payload)
+    for i in range(len(enc) - 1, 0, -1):
+        enc[i] = (enc[i] - enc[i - 1]) & 0xFF
+    stream = lzw_encode(bytes(enc))
+    assert _lzw_decode(stream) == bytes(enc)
+    # through _decode_stream with /Predictor 2
+    from pdf_extractor_spark.pdf.tokenizer import _decode_stream
+
+    d = b"<< /Filter /LZWDecode /DecodeParms << /Predictor 2 /Columns %d >> >>" % len(payload)
+    assert _decode_stream(d, stream) == payload
