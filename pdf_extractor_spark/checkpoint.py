@@ -46,12 +46,12 @@ def checkpoint_path(output_dir: str) -> str:
     return os.path.join(output_dir, CHECKPOINT_DIR)
 
 
-def spans_path(output_dir: str) -> str:
-    return os.path.join(output_dir, SPANS_DIR)
+def spans_path(output_dir: str, table: str = SPANS_DIR) -> str:
+    return os.path.join(output_dir, table)
 
 
-def spans_run_path(output_dir: str, run_id: str) -> str:
-    return os.path.join(spans_path(output_dir), f"run_id={run_id}")
+def spans_run_path(output_dir: str, run_id: str, table: str = SPANS_DIR) -> str:
+    return os.path.join(spans_path(output_dir, table), f"run_id={run_id}")
 
 
 def read_checkpoint(spark: SparkSession, output_dir: str) -> Optional[DataFrame]:
@@ -66,7 +66,9 @@ def read_checkpoint(spark: SparkSession, output_dir: str) -> Optional[DataFrame]
         return None
 
 
-def write_checkpoint(spark: SparkSession, output_dir: str, run_id: str) -> int:
+def write_checkpoint(
+    spark: SparkSession, output_dir: str, run_id: str, table: str = SPANS_DIR
+) -> int:
     """Commit lineage for ONE run by reading back its own partition
     directory (never the whole spans table).
 
@@ -74,7 +76,7 @@ def write_checkpoint(spark: SparkSession, output_dir: str, run_id: str) -> int:
     DataFrame) makes the checkpoint reflect exactly what is durable — the
     property the reference gets by appending to its journal only after each
     document is written (batch_extract.py:176-181)."""
-    run_path = spans_run_path(output_dir, run_id)
+    run_path = spans_run_path(output_dir, run_id, table)
     if not os.path.isdir(run_path):
         return 0
     written = spark.read.parquet(run_path)
@@ -94,21 +96,23 @@ def write_checkpoint(spark: SparkSession, output_dir: str, run_id: str) -> int:
     return spark.read.parquet(run_path).count()
 
 
-def _runs_on_disk(output_dir: str) -> List[str]:
+def _runs_on_disk(output_dir: str, table: str = SPANS_DIR) -> List[str]:
     return sorted(
         d.split("run_id=", 1)[1]
-        for d in glob.glob(os.path.join(spans_path(output_dir), "run_id=*"))
+        for d in glob.glob(os.path.join(spans_path(output_dir, table), "run_id=*"))
         if os.path.isdir(d)
     )
 
 
-def reconcile_checkpoint(spark: SparkSession, output_dir: str) -> List[str]:
+def reconcile_checkpoint(
+    spark: SparkSession, output_dir: str, table: str = SPANS_DIR
+) -> List[str]:
     """Heal the two crash windows before a resume (see module docstring).
 
     Returns the run_ids whose durable-but-uncommitted spans were adopted
     into lineage. Partial (no ``_SUCCESS``) run directories are removed."""
     adopted: List[str] = []
-    runs = _runs_on_disk(output_dir)
+    runs = _runs_on_disk(output_dir, table)
     if not runs:
         return adopted
     ckpt = read_checkpoint(spark, output_dir)
@@ -120,9 +124,9 @@ def reconcile_checkpoint(spark: SparkSession, output_dir: str) -> List[str]:
     for rid in runs:
         if rid in committed:
             continue
-        run_path = spans_run_path(output_dir, rid)
+        run_path = spans_run_path(output_dir, rid, table)
         if os.path.exists(os.path.join(run_path, "_SUCCESS")):
-            write_checkpoint(spark, output_dir, rid)
+            write_checkpoint(spark, output_dir, rid, table)
             adopted.append(rid)
         else:
             shutil.rmtree(run_path, ignore_errors=True)

@@ -276,7 +276,16 @@ def apply_heuristic(
     doc: Doc, htype: str, zone: Optional[Sequence[float]], metadata: Dict[str, Any]
 ) -> Tuple[Optional[str], bool]:
     """Dispatch (extractor.py:333-362). Returns (value, found); for
-    ANCHOR_EMPTY a non-null value signals autocorrection upstream."""
+    ANCHOR_EMPTY a non-null value signals autocorrection upstream (the
+    reference logs the signal but performs no KB write at this site —
+    :350-352 — so neither do we; repair happens only via the fallback loop).
+
+    Deliberate divergence: the reference's ANCHOR_EMPTY no-value branch
+    returns (None, False) (:353-355), which makes its own
+    ``is_confirmed_empty`` planner branch (:938-946) unreachable and sends
+    every confirmed-empty field to the LLM on every document. We return
+    (None, True) — the evident intent — so a present-but-empty label
+    confirms NULL without an LLM round trip."""
     if htype == "ANCHOR":
         v = apply_anchor(doc, metadata)
         return (v, v is not None)

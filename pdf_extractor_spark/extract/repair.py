@@ -135,7 +135,6 @@ def extract_with_repair(
             F.col("extraction_schema"), F.col("result"), F.col("recovered")
         ),
     )
-    results = ok.select(*RESULT_COLS).unionByName(patched.select(*RESULT_COLS))
 
     # O2: derive replacement rules from the recovered values only
     # (derive_only — a value U7 cannot locate leaves the old rule in place)
@@ -148,6 +147,43 @@ def extract_with_repair(
     )
     repaired_rows = learn_kb(repair_docs, values_col="recovered", derive_only=True)
     repaired_kb = kb_upsert(kb, repaired_rows)
+
+    # Second pass: docs whose failures the fallback did NOT adjudicate get
+    # re-extracted under the repaired KB. The reference reaches this state
+    # sequentially — document i+1 extracts with the rule document i's
+    # fallback just repaired (extractor.py:733-738 mutates the live KB
+    # mid-batch); in batch form that is one extra kernel pass over the
+    # still-failing subset only.
+    unrec = F.filter(
+        F.col("failed_fields"),
+        lambda f: F.element_at(F.col("recovered"), f).isNull(),
+    )
+    patched = patched.withColumn("_unrec", unrec)
+    rec_ok = patched.where(F.size("_unrec") == 0)
+    still = patched.where(F.size("_unrec") > 0)
+    reex_in = (
+        still.withColumnRenamed("result", "_base_result")
+        .withColumnRenamed("extraction_schema", "_full_schema")
+        .withColumn(
+            "extraction_schema",
+            F.map_filter(
+                F.col("_full_schema"),
+                lambda k, v: F.array_contains(F.col("_unrec"), k),
+            ),
+        )
+        .drop("failed_fields")
+    )
+    reex = extract_fields(reex_in, repaired_kb).withColumn(
+        "result",
+        _patched_result(
+            F.col("_full_schema"), F.col("_base_result"), F.col("result")
+        ),
+    )
+    results = (
+        ok.select(*RESULT_COLS)
+        .unionByName(rec_ok.select(*RESULT_COLS))
+        .unionByName(reex.select(*RESULT_COLS))
+    )
     return results, repaired_kb
 
 

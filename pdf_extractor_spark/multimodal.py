@@ -39,16 +39,27 @@ except ImportError:
 
 
 def _decode_one(blob: bytes) -> dict:
-    """Deterministic fake decode: metadata derived from byte length only.
+    """Decode one blob's metadata.
 
-    With a real codec present this would parse the container header; the
-    fake keeps the pipeline shape testable (and oracle-checkable) without
-    binary deps."""
+    With PIL present, real image containers are parsed (width, frame count
+    for animated formats); anything PIL rejects — and every blob when PIL
+    is absent, as in this sandbox — falls back to the deterministic fake
+    derived from byte length, which keeps the pipeline shape testable (and
+    oracle-checkable: the oracle feeds text bytes, which no codec accepts,
+    so both environments agree)."""
     n = len(blob) if blob is not None else 0
-    if _HAS_PIL:
-        raise NotImplementedError(
-            "real image decode is intentionally not wired in this sandbox"
-        )
+    if _HAS_PIL and blob:
+        try:
+            import io
+
+            with Image.open(io.BytesIO(bytes(blob))) as im:
+                return {
+                    "byte_len": n,
+                    "fake_width": int(im.width),
+                    "fake_frames": int(getattr(im, "n_frames", 1)),
+                }
+        except Exception:
+            pass  # not a decodable image container → deterministic fake
     return {"byte_len": n, "fake_width": n % 64 + 16, "fake_frames": n % 7 + 1}
 
 

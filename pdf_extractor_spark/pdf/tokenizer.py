@@ -326,13 +326,10 @@ _ESCAPES = {
 }
 
 
-def _decode_pdf_string(raw: bytes) -> str:
-    """Decode a literal PDF string body (inside parens): escapes + WinAnsi."""
+def _unescape_pdf_string(raw: bytes) -> bytes:
+    """Resolve PDF literal-string escapes (octal, named, continuations)."""
     if b"\\" not in raw:  # fast path: the vast majority of strings
-        try:
-            return raw.decode("cp1252")
-        except UnicodeDecodeError:
-            return raw.decode("latin-1")
+        return raw
     out = bytearray()
     i, n = 0, len(raw)
     while i < n:
@@ -362,17 +359,125 @@ def _decode_pdf_string(raw: bytes) -> str:
             continue
         out += c
         i += 1
+    return bytes(out)
+
+
+def _bytes_to_text(b: bytes, enc_map: Optional[Dict[int, str]] = None) -> str:
+    """Byte codes → text: font /Differences remaps where given, WinAnsi
+    (cp1252, latin-1 fallback) otherwise."""
+    if enc_map:
+        return "".join(
+            enc_map.get(code) or bytes([code]).decode("cp1252", "replace")
+            for code in b
+        )
     try:
-        return out.decode("cp1252")  # WinAnsiEncoding
+        return b.decode("cp1252")  # WinAnsiEncoding
     except UnicodeDecodeError:
-        return out.decode("latin-1")
+        return b.decode("latin-1")
+
+
+def _decode_pdf_string(raw: bytes, enc_map: Optional[Dict[int, str]] = None) -> str:
+    """Decode a literal PDF string body (inside parens): escapes +
+    /Differences-aware byte decoding."""
+    return _bytes_to_text(_unescape_pdf_string(raw), enc_map)
+
+
+# --- glyph names (Adobe Glyph List subset) ----------------------------------
+
+_GLYPH_BASE = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/", "colon": ":",
+    "semicolon": ";", "less": "<", "equal": "=", "greater": ">",
+    "question": "?", "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_", "grave": "`",
+    "braceleft": "{", "bar": "|", "braceright": "}", "asciitilde": "~",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "quoteleft": "‘", "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "endash": "–", "emdash": "—",
+    "bullet": "•", "degree": "°", "germandbls": "ß",
+    "oslash": "ø", "Oslash": "Ø", "ae": "æ", "AE": "Æ",
+    "oe": "œ", "OE": "Œ", "euro": "€",
+}
+
+
+def _build_glyph_names() -> Dict[str, str]:
+    """AGL subset: base punctuation/digits + accented Latin built from
+    Unicode names (aacute → LATIN SMALL LETTER A WITH ACUTE, …)."""
+    import unicodedata
+
+    out = dict(_GLYPH_BASE)
+    accents = {
+        "acute": "ACUTE", "grave": "GRAVE", "circumflex": "CIRCUMFLEX",
+        "tilde": "TILDE", "dieresis": "DIAERESIS", "cedilla": "CEDILLA",
+        "ring": "RING ABOVE", "macron": "MACRON", "caron": "CARON",
+        "breve": "BREVE",
+    }
+    for base in "abcdefghijklmnopqrstuvwxyz":
+        for suffix, uname in accents.items():
+            for case, b in (("SMALL", base), ("CAPITAL", base.upper())):
+                try:
+                    ch = unicodedata.lookup(
+                        f"LATIN {case} LETTER {b.upper()} WITH {uname}"
+                    )
+                except KeyError:
+                    continue
+                out[(b if case == "SMALL" else b.upper()) + suffix] = ch
+    return out
+
+
+_GLYPH_NAMES = _build_glyph_names()
+
+
+def _glyph_to_char(name: str) -> Optional[str]:
+    if len(name) == 1:  # /A /a /0 … map to themselves
+        return name
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    if name.startswith("uni") and len(name) == 7:  # uniXXXX
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            return None
+    return None
+
+
+_DIFF_TOKEN_RE = re.compile(rb"(\d+)|/([^\s/\[\]<>()]+)")
+
+
+def _parse_differences(enc_dict: bytes) -> Dict[int, str]:
+    """/Encoding << /Differences [ code /name /name … code /name … ] >> →
+    {byte code: char} for the names the AGL subset resolves."""
+    idx = enc_dict.find(b"/Differences")
+    if idx < 0:
+        return {}
+    start = enc_dict.find(b"[", idx)
+    end = enc_dict.find(b"]", start)
+    if start < 0 or end < 0:
+        return {}
+    out: Dict[int, str] = {}
+    code = 0
+    for m in _DIFF_TOKEN_RE.finditer(enc_dict[start + 1 : end]):
+        if m.group(1) is not None:
+            code = int(m.group(1))
+        else:
+            ch = _glyph_to_char(m.group(2).decode("latin-1"))
+            if ch is not None and 0 <= code <= 255:
+                out[code] = ch
+            code += 1
+    return out
 
 
 _CTRL = set(range(0x00, 0x20)) - {0x09, 0x0A, 0x0D}
 
 
-def _decode_hex_string(raw: bytes) -> str:
+def _decode_hex_string(raw: bytes, enc_map: Optional[Dict[int, str]] = None) -> str:
     """Hex-string bytes → text, with a multi-byte-CID guard.
+
+    A /Differences map implies a simple (1-byte) font — bytes map through
+    it directly, no CID guard needed.
 
     Single-byte simple-font codes decode as WinAnsi like literal strings.
     Type0/CID fonts put 2-byte glyph indexes in hex strings — those are NOT
@@ -386,6 +491,8 @@ def _decode_hex_string(raw: bytes) -> str:
       contract) rather than garbage."""
     if not raw:
         return ""
+    if enc_map:
+        return _bytes_to_text(raw, enc_map)
     if raw[:2] == b"\xfe\xff":
         try:
             return raw[2:].decode("utf-16-be")
@@ -429,8 +536,14 @@ def _mat_mul(a, b):
 _IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
-def _run_content(content: bytes, image_xobjects: Dict[str, Tuple[float, float]]) -> List[PdfSpan]:
+def _run_content(
+    content: bytes,
+    image_xobjects: Dict[str, Tuple[float, float]],
+    font_encodings: Optional[Dict[str, Dict[int, str]]] = None,
+) -> List[PdfSpan]:
     """Interpret a page content stream → raw spans (document order)."""
+    font_encodings = font_encodings or {}
+    cur_enc: Optional[Dict[int, str]] = None  # active font's /Differences
     spans: List[PdfSpan] = []
     ctm = _IDENTITY
     gs_stack: List[Tuple[float, ...]] = []
@@ -508,7 +621,7 @@ def _run_content(content: bytes, image_xobjects: Dict[str, Tuple[float, float]])
         if idx == I_NUM:
             cur.append(float(tok))
         elif idx == I_STR:
-            cur.append(_decode_pdf_string(tok[1:-1]))
+            cur.append(_decode_pdf_string(tok[1:-1], cur_enc))
         elif idx == I_NAME:
             cur.append(tok.decode("latin-1"))
         elif idx == I_ARR:
@@ -525,7 +638,11 @@ def _run_content(content: bytes, image_xobjects: Dict[str, Tuple[float, float]])
             if len(hexdigits) % 2:
                 hexdigits += b"0"
             try:
-                cur.append(_decode_hex_string(bytes.fromhex(hexdigits.decode("ascii"))))
+                cur.append(
+                    _decode_hex_string(
+                        bytes.fromhex(hexdigits.decode("ascii")), cur_enc
+                    )
+                )
             except ValueError:
                 cur.append("")
         else:  # operator
@@ -545,6 +662,9 @@ def _run_content(content: bytes, image_xobjects: Dict[str, Tuple[float, float]])
                     in_text = False
                 elif op == "Tf" and len(stack) >= 2:
                     font_size = float(stack[-1])
+                    fname = stack[-2]
+                    if isinstance(fname, str) and fname.startswith("/"):
+                        cur_enc = font_encodings.get(fname[1:])
                 elif op == "TL" and stack:
                     leading = float(stack[-1])
                 elif op == "Tc" and stack:
@@ -666,6 +786,35 @@ def _image_xobjects(page_dict: bytes, objects) -> Dict[str, Tuple[float, float]]
     return out
 
 
+def _font_encodings(page_dict: bytes, objects) -> Dict[str, Dict[int, str]]:
+    """Per-font /Differences maps from the page's /Font resources.
+
+    Handles both /Encoding << /Differences [...] >> inline in the font dict
+    and /Encoding N 0 R pointing at an encoding object. Fonts without
+    Differences (standard encodings) decode via the WinAnsi default."""
+    out: Dict[str, Dict[int, str]] = {}
+    fraw = _dict_value(page_dict, b"Font")
+    if fraw is None:
+        return out
+    for m in re.finditer(rb"/([^\s/\[\]<>()]+)\s+(\d+)\s+\d+\s+R", fraw[:2000]):
+        name = m.group(1).decode("latin-1")
+        ref = int(m.group(2))
+        if ref not in objects:
+            continue
+        enc_raw = _dict_value(objects[ref][0], b"Encoding")
+        if enc_raw is None:
+            continue
+        enc_ref = _resolve_ref(enc_raw)
+        if enc_ref is not None and enc_ref in objects:
+            enc_dict = objects[enc_ref][0]
+        else:
+            enc_dict = enc_raw
+        diffs = _parse_differences(enc_dict)
+        if diffs:
+            out[name] = diffs
+    return out
+
+
 def _page_content(page_dict: bytes, objects) -> bytes:
     """Collect the page's content stream(s) in order.
 
@@ -773,7 +922,7 @@ def tokenize_pdf(data: bytes) -> Dict[str, Any]:
             if rot in (90, 270):
                 pw, ph = ph, pw
             return {"page_width": pw, "page_height": ph, "spans": []}
-        spans = _run_content(content, images)
+        spans = _run_content(content, images, _font_encodings(page_dict, objects))
         spans, pw, ph = _apply_rotation(spans, rot, pw, ph)
         return {"page_width": pw, "page_height": ph, "spans": spans}
     except Exception:

@@ -321,3 +321,114 @@ def run_extraction_job(
         "docs_per_sec": n_docs / elapsed if elapsed > 0 else 0.0,
         "metrics": metrics,
     }
+
+
+def run_field_extraction_job(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    kb: Optional[DataFrame] = None,
+    replay: Optional[dict] = None,
+    run_id: Optional[str] = None,
+    partitions: int = 32,
+    resume: bool = True,
+) -> dict:
+    """The reference CLI end-to-end (`/root/reference/batch_extract.py` +
+    the planner of `extractor.py:905-959`): labeled documents + KB →
+    tokenize → three-way planner (bootstrap / whole-doc LLM / heuristics
+    with adaptive repair) → results + updated KB + metrics, resumable.
+
+    Output layout:
+      {output_dir}/results/run_id=<id>/  doc_id, label, plan_branch,
+                                         result map, LLM token/cost columns
+      {output_dir}/kb/                   updated KB dim table (overwritten
+                                         at job end — the reference's
+                                         export_kb, batch_extract.py:196)
+      {output_dir}/checkpoint/           shared lineage protocol
+      {output_dir}/metrics/              A3 counters + F10 cost rows
+
+    ``replay`` is the canned-LLM response table (extract.llm); None runs
+    pure-deterministic (bootstraps learn from U6 only, failures stay null).
+    """
+    from pdf_extractor_spark.checkpoint import (
+        read_checkpoint, reconcile_checkpoint, spans_run_path, write_checkpoint,
+    )
+    from pdf_extractor_spark.extract.llm import cost_summary
+    from pdf_extractor_spark.extract.repair import extract_planned
+    from pdf_extractor_spark.kb import kb_df
+
+    run_id = run_id or uuid.uuid4().hex
+    t0 = time.time()
+    docs = spark.read.parquet(input_path)
+    ckpt = None
+    if resume:
+        reconcile_checkpoint(spark, output_dir, table="results")
+        ckpt = read_checkpoint(spark, output_dir)
+    if ckpt is not None:
+        done = ckpt.where(F.col("status") == "committed").select("doc_id")
+        docs = docs.join(done, "doc_id", "left_anti")
+        if docs.isEmpty():
+            return {"run_id": run_id, "docs": 0,
+                    "seconds": time.time() - t0, "metrics": {}}
+    if kb is None:
+        kb_dir = os.path.join(output_dir, "kb")
+        if os.path.isdir(kb_dir):  # continue from the persisted KB state
+            kb = spark.read.parquet(kb_dir)
+        else:
+            kb = kb_df(spark, [])
+
+    tokenized = tokenize_stage(with_content_hash(docs))
+    results, kb_out = extract_planned(tokenized, kb, replay or {})
+    hashes = tokenized.select("doc_id", "content_hash")
+    out = (
+        results.join(hashes, "doc_id")
+        .withColumn(
+            "span_count",  # lineage metric: # non-null extracted fields
+            F.size(F.map_filter("result", lambda k, v: v.isNotNull())).cast("int"),
+        )
+        .withColumn("partition_id", F.spark_partition_id())
+    )
+    out.write.mode("overwrite").parquet(
+        spans_run_path(output_dir, run_id, table="results")
+    )
+    n_docs = write_checkpoint(spark, output_dir, run_id, table="results")
+
+    # KB state at job end (the reference exports after every batch) —
+    # written to a fresh dir then swapped so a crash never corrupts the
+    # previous KB
+    committed_results = spark.read.parquet(
+        spans_run_path(output_dir, run_id, table="results")
+    )
+    kb_dir = os.path.join(output_dir, "kb")
+    kb_tmp = kb_dir + "_new"
+    kb_out.write.mode("overwrite").parquet(kb_tmp)
+    import shutil
+
+    if os.path.isdir(kb_dir):
+        shutil.rmtree(kb_dir)
+    os.rename(kb_tmp, kb_dir)
+
+    # metrics: A3 counters + F10 cost columns in one append
+    cost = cost_summary(committed_results).collect()[0].asDict()
+    metrics = {
+        "docs": float(n_docs),
+        "fields_extracted": float(
+            committed_results.agg(F.sum("span_count")).first()[0] or 0
+        ),
+        "llm_calls": float(cost["llm_calls"] or 0),
+        "llm_failures": float(cost["llm_failures"] or 0),
+        "llm_in_tokens": float(cost["llm_in_tokens"] or 0),
+        "llm_out_tokens": float(cost["llm_out_tokens"] or 0),
+        "llm_total_cost": float(cost["llm_total_cost"] or 0.0),
+    }
+    spark.createDataFrame(
+        [(run_id, k, v) for k, v in metrics.items()], METRICS_SCHEMA
+    ).write.mode("append").parquet(os.path.join(output_dir, "metrics"))
+    elapsed = time.time() - t0
+    return {
+        "run_id": run_id,
+        "docs": n_docs,
+        "seconds": elapsed,
+        "docs_per_sec": n_docs / elapsed if elapsed > 0 else 0.0,
+        "metrics": metrics,
+    }

@@ -1,0 +1,97 @@
+"""End-to-end field-extraction job — the reference CLI's full contract:
+planner + repair + results table + persisted KB + cost metrics + resume."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.corpus import make_labeled_pdf
+from pdf_extractor_spark.extract.llm import replay_response
+from pdf_extractor_spark.kb import kb_df
+from pdf_extractor_spark.pipeline import run_field_extraction_job
+from pdf_extractor_spark.schema import RAW_DOC_SCHEMA
+
+FIELDS = {"Registro": "55123", "Cidade": "Londrina"}
+
+
+def _write_docs(spark, path, n=3, label="ficha"):
+    rows = [
+        (f"card_{i}", make_labeled_pdf(FIELDS, title=f"FICHA {i}"),
+         "application/pdf", label, {"registro": "Numero de registro"},
+         0)
+        for i in range(n)
+    ]
+    spark.createDataFrame(rows, RAW_DOC_SCHEMA).write.mode("overwrite").parquet(path)
+
+
+BROKEN_KB = [
+    {"label": "ficha", "field": "registro", "type": "ANCHOR", "zone": None,
+     "confidence": 0.9,
+     "metadata": {"anchor_text": "Matricula", "direction": "below",
+                  "layout": "column"},
+     "template_fixo": True},
+]
+
+
+def test_field_job_end_to_end_with_repair(spark, tmp_path):
+    docs_path = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    _write_docs(spark, docs_path)
+    # only card_0's fallback is replayed: repair must carry card_1/2 anyway
+    replay = {"card_0": replay_response({"registro": "55123"})}
+    stats = run_field_extraction_job(
+        spark, docs_path, out_dir, kb=kb_df(spark, BROKEN_KB),
+        replay=replay, run_id="r1", partitions=4,
+    )
+    assert stats["docs"] == 3
+    results = spark.read.parquet(os.path.join(out_dir, "results"))
+    vals = {r["doc_id"]: r["result"]["registro"] for r in results.collect()}
+    assert vals == {f"card_{i}": "55123" for i in range(3)}
+
+    # KB persisted with the repaired rule
+    kb = spark.read.parquet(os.path.join(out_dir, "kb"))
+    rule = {r["field"]: r.asDict(recursive=True) for r in kb.collect()}["registro"]
+    assert rule["metadata"].get("anchor_text") != "Matricula"
+
+    # F10 cost metrics written
+    metrics = {
+        r["metric"]: r["value"]
+        for r in spark.read.parquet(os.path.join(out_dir, "metrics")).collect()
+    }
+    assert metrics["llm_calls"] >= 1.0
+    assert metrics["llm_total_cost"] > 0.0
+    assert metrics["fields_extracted"] == 3.0
+
+    # resume: everything committed → no-op
+    s2 = run_field_extraction_job(
+        spark, docs_path, out_dir, replay=replay, run_id="r2", partitions=4
+    )
+    assert s2["docs"] == 0
+    assert spark.read.parquet(os.path.join(out_dir, "results")).count() == 3
+
+
+def test_field_job_incremental_docs_use_repaired_kb(spark, tmp_path):
+    """New documents arriving after a repair run extract heuristically from
+    the persisted KB — zero further LLM calls (the reference's two-level
+    promise across CLI invocations, batch_extract.py:23-40)."""
+    docs1 = str(tmp_path / "docs1")
+    out_dir = str(tmp_path / "out")
+    _write_docs(spark, docs1, n=1)
+    run_field_extraction_job(
+        spark, docs1, out_dir, kb=kb_df(spark, BROKEN_KB),
+        replay={"card_0": replay_response({"registro": "55123"})},
+        run_id="r1", partitions=4,
+    )
+    # a second batch with MORE docs (card_0 committed + new card_1, card_2)
+    docs2 = str(tmp_path / "docs2")
+    _write_docs(spark, docs2, n=3)
+    s2 = run_field_extraction_job(
+        spark, docs2, out_dir, replay={}, run_id="r2", partitions=4
+    )
+    assert s2["docs"] == 2  # only the new cards
+    assert s2["metrics"]["llm_calls"] == 0.0  # KB carried the repair
+    results = spark.read.parquet(os.path.join(out_dir, "results"))
+    vals = {r["doc_id"]: r["result"]["registro"] for r in results.collect()}
+    assert vals == {f"card_{i}": "55123" for i in range(3)}

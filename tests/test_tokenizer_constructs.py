@@ -260,3 +260,63 @@ def test_lzw_with_predictor_no_longer_skipped():
 
     d = b"<< /Filter /LZWDecode /DecodeParms << /Predictor 2 /Columns %d >> >>" % len(payload)
     assert _decode_stream(d, stream) == payload
+
+
+# --- font /Differences encodings -------------------------------------------
+
+
+def _pdf_with_font(content_ops: bytes, font_objs: list[bytes],
+                   font_res: bytes) -> bytes:
+    import zlib as _z
+    stream = _z.compress(content_ops)
+    objs = [
+        b"1 0 obj << /Type/Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type/Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type/Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << " + font_res + b" >> >> >> endobj",
+        b"4 0 obj << /Length %d /Filter /FlateDecode >> stream\n%s\nendstream endobj"
+        % (len(stream), stream),
+    ] + font_objs
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+
+
+def test_differences_inline_encoding():
+    # map byte 65 ('A') -> eacute, 66 -> ccedilla; byte 97 untouched
+    font = (b"10 0 obj << /Type/Font /Subtype/Type1 /BaseFont/Helvetica "
+            b"/Encoding << /Differences [ 65 /eacute /ccedilla ] >> >> endobj")
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (ABa) Tj ET"
+    pdf = _pdf_with_font(ops, [font], b"/F1 10 0 R")
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["éça"]
+
+
+def test_differences_encoding_via_ref_object():
+    enc = (b"11 0 obj << /Type/Encoding "
+           b"/Differences [ 97 /atilde 111 /otilde ] >> endobj")
+    font = (b"10 0 obj << /Type/Font /Subtype/Type1 /BaseFont/Helvetica "
+            b"/Encoding 11 0 R >> endobj")
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (nao) Tj ET"
+    pdf = _pdf_with_font(ops, [font, enc], b"/F1 10 0 R")
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["nãõ"]
+
+
+def test_differences_only_applies_to_its_font():
+    # F2 has Differences, F1 does not — switching fonts switches decoding
+    font1 = b"10 0 obj << /Type/Font /Subtype/Type1 /BaseFont/Helvetica >> endobj"
+    font2 = (b"12 0 obj << /Type/Font /Subtype/Type1 /BaseFont/Helvetica "
+             b"/Encoding << /Differences [ 65 /eacute ] >> >> endobj")
+    ops = (b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (A) Tj "
+           b"/F2 10 Tf 1 0 0 1 50 650 Tm (A) Tj ET")
+    pdf = _pdf_with_font(ops, [font1, font2], b"/F1 10 0 R /F2 12 0 R")
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["A", "é"]
+
+
+def test_differences_glyph_name_forms():
+    from pdf_extractor_spark.pdf.tokenizer import _glyph_to_char
+
+    assert _glyph_to_char("a") == "a"
+    assert _glyph_to_char("eacute") == "é"
+    assert _glyph_to_char("ccedilla") == "ç"
+    assert _glyph_to_char("Atilde") == "Ã"
+    assert _glyph_to_char("uni0041") == "A"
+    assert _glyph_to_char("seven") == "7"
+    assert _glyph_to_char("nonexistentglyph") is None
