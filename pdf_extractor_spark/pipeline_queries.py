@@ -165,10 +165,13 @@ def dedup_minhash_bands(spark, sf_dir):
     )
     # Both bands come out of ONE pass over the signatures via stack() (a
     # unionByName of two selects re-computes the whole scan→explode→agg
-    # subtree per branch — Spark does not dedupe common subplans), and the
-    # tiny (doc_id, band) relation is persisted so the self-join's two sides
-    # share one materialization instead of recomputing the pipeline twice
-    # more. Net: 1 scan of documents instead of 4.
+    # subtree per branch — Spark does not dedupe common subplans). Net: the
+    # self-join's two sides scan documents twice instead of four times.
+    # A persist() of the band relation was measured and rejected: best-case
+    # identical (2.2 vs 2.4 s) but with pathological variance inside a
+    # busy JVM (2→18 s swings from cache-materialization scheduling), and
+    # at cluster scale caching a shuffle input buys nothing the exchange
+    # reuse doesn't already provide.
     def band(cols):
         return "md5(concat_ws('_', {}))".format(
             ", ".join(f"cast({c} as string)" for c in cols)
@@ -180,7 +183,7 @@ def dedup_minhash_bands(spark, sf_dir):
             band(["mh_1", "mh_2", "mh_3", "mh_4"]),
             band(["mh_5", "mh_6", "mh_7", "mh_8"]),
         ),
-    ).persist()
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -451,6 +454,16 @@ def sim_ann_lsh_topk(spark, sf_dir):
 
 _EN_STOP = "(the|of|and|to|in|a|is|that|it|for|was|on|are|as|with)"
 _PT_STOP = "(de|a|o|que|e|do|da|em|um|para|com|não|uma|os|no)"
+_ES_STOP = "(de|la|que|el|en|y|a|los|del|se|las|por|un|esta|con|una)"
+_FR_STOP = "(le|la|de|et|les|des|est|un|une|du|que|pas|pour|dans|ce|il)"
+_DE_STOP = "(der|die|und|in|den|von|zu|das|mit|sich|des|auf|ist|im|nicht|ein)"
+
+# detection banks in tie-break priority order (both engines use the same
+# ladder, so ties resolve identically)
+_LANG_BANKS = [
+    ("en", _EN_STOP), ("pt", _PT_STOP), ("es", _ES_STOP),
+    ("fr", _FR_STOP), ("de", _DE_STOP),
+]
 
 
 @register(
@@ -483,25 +496,50 @@ def text_quality(spark, sf_dir):
     )
 
 
+def _langid_case_sql() -> str:
+    """Argmax ladder over the language banks: lang i wins if its count is
+    >= every later bank's count (ties break toward the earlier bank —
+    identical chain on both engines)."""
+    counts = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b{bank}\\b'))"
+        for lang, bank in _LANG_BANKS
+    }
+    clauses = []
+    langs = [lang for lang, _ in _LANG_BANKS]
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"{counts[lang]} >= {counts[later]}" for later in langs[i + 1 :]
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
 @register(
     "text_langid",
-    f"""SELECT doc_id, lang,
-        CASE WHEN len(regexp_extract_all(lower(text), '\\b{_EN_STOP}\\b'))
-                  >= len(regexp_extract_all(lower(text), '\\b{_PT_STOP}\\b'))
-             THEN 'en' ELSE 'pt' END AS pred_lang
+    f"""SELECT doc_id, lang, {_langid_case_sql()} AS pred_lang
         FROM documents""",
 )
 def text_langid(spark, sf_dir):
-    """Language ID: stopword-hit heuristic (n-gram-free variant; a scale
-    pipeline would extend the stopword banks per language)."""
+    """Language ID: stopword-hit argmax over five language banks
+    (en/pt/es/fr/de), same deterministic tie-break ladder as the oracle.
+    All counting is regexp_extract_all — fully codegen, one pass."""
     d = t(spark, sf_dir, "documents")
-    en = F.size(F.regexp_extract_all(F.lower("text"), F.lit(rf"\b{_EN_STOP}\b"), 0))
-    pt = F.size(F.regexp_extract_all(F.lower("text"), F.lit(rf"\b{_PT_STOP}\b"), 0))
-    return d.select(
-        "doc_id",
-        "lang",
-        F.when(en >= pt, "en").otherwise("pt").alias("pred_lang"),
-    )
+    counts = {
+        lang: F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(rf"\b{bank}\b"), 0)
+        )
+        for lang, bank in _LANG_BANKS
+    }
+    langs = [lang for lang, _ in _LANG_BANKS]
+    pred = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        lang = langs[i]
+        cond = None
+        for later in langs[i + 1 :]:
+            c = counts[lang] >= counts[later]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang).otherwise(pred)
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
 
 
 @register(
