@@ -236,8 +236,13 @@ def bootstrap_labels(
 
     # learning: U7 from values, U6 for the null fields — exactly learn_kb's
     # candidate order; rules are kept only for fixed templates
-    # (extractor.py:628,636 guard `if ... and is_fixed`)
-    learned = learn_kb(parsed.where(F.col("_fixo")), values_col="values")
+    # (extractor.py:628,636 guard `if ... and is_fixed`) and only when the
+    # bootstrap call actually answered (a failed call returns all-None and
+    # learns nothing, :601-604 — the label stays unseen for the next batch)
+    learned = learn_kb(
+        parsed.where(F.col("_fixo") & F.col("llm_response").isNotNull()),
+        values_col="values",
+    )
     return results.select(*RESULT_COLS), learned
 
 

@@ -88,9 +88,9 @@ def dedup_minhash_signature(spark, sf_dir):
     return words.groupBy("doc_id").agg(*aggs)
 
 
-@register(
-    "dedup_minhash_bands",
-    f"""WITH toks AS (
+# shared CTE body: documents → 3-word shingles → 8-perm minhash → 2 bands →
+# candidate pairs (used by both the bands oracle and the cluster oracle)
+_BANDS_PAIRS_CTE = f"""toks AS (
           SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
         ), idx AS (
           SELECT doc_id, l,
@@ -112,10 +112,17 @@ def dedup_minhash_signature(spark, sf_dir):
           SELECT doc_id, md5(mh_5::VARCHAR || '_' || mh_6::VARCHAR || '_' ||
                              mh_7::VARCHAR || '_' || mh_8::VARCHAR) AS band
           FROM sigs
-        )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id""",
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )"""
+
+
+@register(
+    "dedup_minhash_bands",
+    f"""WITH {_BANDS_PAIRS_CTE}
+        SELECT doc_a, doc_b FROM pairs""",
 )
 def dedup_minhash_bands(spark, sf_dir):
     """MinHash LSH banding over 3-word shingles: shingle → 8-perm minhash
@@ -190,6 +197,72 @@ def dedup_minhash_bands(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@register(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_BANDS_PAIRS_CTE},
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ), nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.d, r.label FROM reach r JOIN edges e ON r.id = e.s
+        )
+        SELECT id AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY id""",
+)
+def dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the MinHash
+    LSH candidate graph — every doc in a near-dup component maps to the
+    component's min doc_id (the canonical keep-one-representative step
+    after candidate generation).
+
+    Spark side: iterative min-label propagation — per round, every node
+    takes the min of its own and its neighbors' labels (one broadcast-free
+    join + grouped min), converging in O(component diameter) rounds.
+    Near-dup components are tiny and dense (diameter 1-2), so 2-3 rounds
+    suffice; a strictly-decreasing label-sum doubles as the convergence
+    test (ONE scalar per round crosses to the driver — no row-level
+    driver loop; at 10^9 docs you would swap this for the large-star/
+    small-star formulation, same dataflow shape). The oracle states the
+    same fixpoint as a recursive CTE."""
+    pairs = dedup_minhash_bands(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    labels = edges.select(F.col("s").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    prev_sum = None
+    prev_df = None
+    for _ in range(20):  # component diameter bound; dup clusters need 2-3
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]  # materializes cache
+        if prev_df is not None:
+            prev_df.unpersist()
+        prev_df = labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep"))
 
 
 @register(
@@ -326,6 +399,69 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
     return out
+
+
+SESSION_GAP_SEC = 1800  # 30 min inactivity ends a session
+
+
+@register(
+    "w5_sessionize",
+    f"""WITH seq AS (
+         SELECT user_id, floor(epoch(ts))::BIGINT AS t, value,
+                lag(floor(epoch(ts))::BIGINT)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+         FROM events
+       ), flagged AS (
+         SELECT user_id, t, value,
+                CASE WHEN prev_t IS NULL OR t - prev_t > {SESSION_GAP_SEC}
+                     THEN 1 ELSE 0 END AS new_session
+         FROM seq
+       ), numbered AS (
+         SELECT user_id, t, value,
+                sum(new_session) OVER (
+                  PARTITION BY user_id ORDER BY t
+                  ROWS UNBOUNDED PRECEDING) AS session_no
+         FROM flagged
+       )
+       SELECT user_id, session_no,
+              count(*) AS n_events,
+              max(t) - min(t) AS duration_sec,
+              round(sum(value), 2) AS total_value
+       FROM numbered GROUP BY user_id, session_no""",
+)
+def w5_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the event stream: a >30-min silence
+    starts a new session (lag → boundary flag → running sum = session id →
+    grouped rollup). One shuffle on user_id serves both windows AND the
+    final aggregation — Spark keeps the partitioning across the window and
+    groupBy stages, so at 10^9 events this is a single exchange. The same
+    dataflow is the batch shape of a streaming session window
+    (F.session_window) — expressed with lag/sum here so the DuckDB oracle
+    can state identical semantics."""
+    e = t(spark, sf_dir, "events")
+    tcol = F.floor(F.unix_timestamp("ts")).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", tcol.alias("t"), "value",
+                   F.lag(tcol).over(w).alias("prev_t"))
+    flagged = seq.withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_t").isNull()
+            | ((F.col("t") - F.col("prev_t")) > SESSION_GAP_SEC),
+            1,
+        ).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn("session_no", F.sum("new_session").over(w2))
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (F.max("t") - F.min("t")).alias("duration_sec"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -493,6 +629,54 @@ def text_quality(spark, sf_dir):
         F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 4).alias(
             "punct_density"
         ),
+    )
+
+
+@register(
+    "text_quality_filter",
+    """WITH scored AS (
+         SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+                len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                length(text) AS n_chars,
+                len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+         FROM documents
+       )
+       SELECT doc_id, n_words,
+              round(n_alpha * 1.0 / greatest(n_words, 1), 4) AS mean_word_len
+       FROM scored
+       WHERE n_words >= 20
+         AND n_words <= 100000
+         AND n_alpha * 1.0 / greatest(n_words, 1) BETWEEN 2.0 AND 12.0
+         AND n_punct * 1.0 / greatest(n_chars, 1) <= 0.2""",
+)
+def text_quality_filter(spark, sf_dir):
+    """Quality FILTER (the stage after scoring): Gopher-style repetition/
+    length rules — doc length bounds, mean word length in a sane band,
+    punctuation density cap. Pure codegen predicate over one scan; at
+    100 TB this is the pre-training gate that discards boilerplate and
+    OCR noise before tokenization."""
+    d = t(spark, sf_dir, "documents")
+    n_words = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), 0))
+    n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), 0))
+    mean_wl = n_alpha / F.greatest(n_words, F.lit(1))
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            F.round(mean_wl, 4).alias("mean_word_len"),
+            (n_punct / F.greatest(F.length("text"), F.lit(1))).alias("_pd"),
+            mean_wl.alias("_mwl"),
+        )
+        .where(
+            (F.col("n_words") >= 20)
+            & (F.col("n_words") <= 100000)
+            & (F.col("_mwl") >= 2.0)
+            & (F.col("_mwl") <= 12.0)
+            & (F.col("_pd") <= 0.2)
+        )
+        .select("doc_id", "n_words", "mean_word_len")
     )
 
 
