@@ -18,26 +18,53 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("input", help="RAW_DOC parquet path")
-    ap.add_argument("output", help="output dir (spans/ + checkpoint/)")
+    ap.add_argument("output", help="output dir (spans|results + checkpoint/)")
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--dedup", choices=["narrow", "wide"], default="narrow")
+    ap.add_argument(
+        "--mode", choices=["spans", "fields"], default="spans",
+        help="spans = tokenize-only job; fields = the full planner+repair "
+             "field-extraction job (the reference CLI's contract)",
+    )
+    ap.add_argument(
+        "--kb-json", default=None,
+        help="fields mode: seed KB in the reference's knowledge_base.json "
+             "format (batch_extract.py:23-32); defaults to the KB persisted "
+             "in <output>/kb from the previous run",
+    )
     args = ap.parse_args()
 
     # spark-submit owns master/memory/conf; build_session is for in-process use
     spark = SparkSession.builder.appName("pdf_extractor_spark.extract").getOrCreate()
-    from pdf_extractor_spark.pipeline import run_extraction_job
 
-    stats = run_extraction_job(
-        spark,
-        args.input,
-        args.output,
-        run_id=args.run_id,
-        partitions=args.partitions,
-        resume=not args.no_resume,
-        dedup=args.dedup,
-    )
+    if args.mode == "fields":
+        from pdf_extractor_spark.kb import load_kb_json
+        from pdf_extractor_spark.pipeline import run_field_extraction_job
+
+        kb = load_kb_json(spark, args.kb_json) if args.kb_json else None
+        stats = run_field_extraction_job(
+            spark,
+            args.input,
+            args.output,
+            kb=kb,
+            run_id=args.run_id,
+            partitions=args.partitions,
+            resume=not args.no_resume,
+        )
+    else:
+        from pdf_extractor_spark.pipeline import run_extraction_job
+
+        stats = run_extraction_job(
+            spark,
+            args.input,
+            args.output,
+            run_id=args.run_id,
+            partitions=args.partitions,
+            resume=not args.no_resume,
+            dedup=args.dedup,
+        )
     print(json.dumps(stats))
     spark.stop()
 
