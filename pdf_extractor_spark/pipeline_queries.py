@@ -784,6 +784,69 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnowing window (min-selection span)
+
+
+@register(
+    "text_winnowing",
+    f"""WITH base AS (
+         SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+       ), pos AS (
+         SELECT doc_id, t,
+                unnest(range(1, greatest(length(t) - {WINNOW_K} + 1, 0) + 1)) AS i
+         FROM base
+       ), h AS (
+         SELECT doc_id, i, {_h32_sql(f"substr(t, i, {WINNOW_K})")} AS h FROM pos
+       ), wm AS (
+         SELECT doc_id, h,
+                min(h) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+                  AS wmin
+         FROM h
+       ), sel AS (
+         SELECT DISTINCT doc_id, h FROM wm WHERE h = wmin
+       )
+       SELECT doc_id, count(*) AS n_fps,
+              (sum(h) % 2147483647)::BIGINT AS fp_checksum
+       FROM sel GROUP BY doc_id""",
+)
+def text_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+    MOSS scheme): hash every char k-gram, keep the minimum of each sliding
+    w-window, dedup the kept hashes. Guarantees any shared substring of
+    length ≥ k+w−1 shares a fingerprint — the standard position-robust
+    near-dup signature (survives insertions that break fixed shingles).
+    One scan → explode → window min → grouped agg; the shuffle carries
+    (doc, selected-hash) pairs only (~1/w of the gram count). Checksum is
+    per-term-modulo int64 on both engines (see text_fingerprint)."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    n_grams = F.greatest(F.length(txt) - WINNOW_K + 1, F.lit(0))
+    idx = F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = d.select(
+        "doc_id", txt.alias("t"), F.explode(idx).alias("i")
+    ).select(
+        "doc_id", "i", _h32(F.expr(f"substring(t, i, {WINNOW_K})")).alias("h")
+    )
+    wspec = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)
+    )
+    sel = (
+        grams.withColumn("wmin", F.min("h").over(wspec))
+        .where(F.col("h") == F.col("wmin"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    m = F.lit(2147483647)
+    return sel.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        (F.sum("h") % m).alias("fp_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + typed metadata via mapInPandas)
 # ---------------------------------------------------------------------------

@@ -197,3 +197,106 @@ def test_lzw_content_stream():
     )
     doc = assemble_doc(tokenize_any(pdf))
     assert [s["text"] for s in doc["spans"]] == ["lzw path works"]
+
+
+def pdf_from_runs_rotated(runs, rotate):
+    ops = [b"BT /F1 10 Tf"]
+    for x, y, text in runs:
+        ops.append(b"1 0 0 1 %.2f %.2f Tm (%s) Tj" % (x, y, text.encode("latin-1")))
+    ops.append(b"ET")
+    content = zlib.compress(b"\n".join(ops))
+    return (
+        b"%%PDF-1.4\n"
+        b"1 0 obj << /Type/Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type/Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type/Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Rotate %d /Contents 4 0 R /Resources << /Font << /F1 9 0 R >> >> >> endobj\n"
+        b"4 0 obj << /Length %d /Filter /FlateDecode >> stream\n%s\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%%%EOF" % (rotate, len(content), content)
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    runs=st.lists(
+        st.tuples(
+            st.floats(10, 500), st.floats(10, 700), WORDS
+        ),
+        min_size=1, max_size=6,
+    ),
+    rotate=st.sampled_from([0, 90, 180, 270]),
+)
+def test_rotation_preserves_span_set_and_remaps_frame(runs, rotate):
+    """Property: rotation permutes geometry but never text content; the
+    rotated frame is exactly the manual remap of the unrotated spans
+    ((x,y)→(y,W−x) / (W−x,H−y) / (H−y,x)) and page dims swap for 90/270."""
+    from pdf_extractor_spark.pdf.tokenizer import tokenize_pdf
+
+    base = tokenize_pdf(pdf_from_runs(runs))
+    rot = tokenize_pdf(pdf_from_runs_rotated(runs, rotate))
+
+    assert sorted(s["text"] for s in rot["spans"]) == sorted(
+        s["text"] for s in base["spans"]
+    )
+    W, H = base["page_width"], base["page_height"]
+    if rotate in (90, 270):
+        assert (rot["page_width"], rot["page_height"]) == (H, W)
+    else:
+        assert (rot["page_width"], rot["page_height"]) == (W, H)
+
+    def remap(s):
+        x0, y0, x1, y1 = s["x0"], s["y0"], s["x1"], s["y1"]
+        if rotate == 90:
+            return (y0, W - x1, y1, W - x0)
+        if rotate == 180:
+            return (W - x1, H - y1, W - x0, H - y0)
+        if rotate == 270:
+            return (H - y1, x0, H - y0, x1)
+        return (x0, y0, x1, y1)
+
+    want = sorted(
+        (s["text"],) + tuple(round(v, 4) for v in remap(s))
+        for s in base["spans"]
+    )
+    got = sorted(
+        (s["text"], round(s["x0"], 4), round(s["y0"], 4),
+         round(s["x1"], 4), round(s["y1"], 4))
+        for s in rot["spans"]
+    )
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    payload=st.binary(min_size=1, max_size=400),
+    columns=st.integers(1, 32),
+    tag=st.sampled_from([0, 1, 2, 3, 4]),
+)
+def test_png_predictor_all_filters_roundtrip(payload, columns, tag):
+    """Property: encoding rows with any single PNG filter then applying the
+    predictor recovers the original bytes (rows padded to full width)."""
+    from pdf_extractor_spark.pdf.tokenizer import _apply_predictor
+
+    rowlen = columns
+    if len(payload) % rowlen:
+        payload = payload + b"\x00" * (rowlen - len(payload) % rowlen)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    enc = bytearray()
+    prev = bytes(rowlen)
+    for r in range(0, len(payload), rowlen):
+        row = payload[r : r + rowlen]
+        enc.append(tag)
+        for j, v in enumerate(row):
+            left = row[j - 1] if j >= 1 else 0
+            up = prev[j]
+            ul = prev[j - 1] if j >= 1 else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1,
+                    4: paeth(left, up, ul)}[tag]
+            enc.append((v - pred) & 0xFF)
+        prev = row
+    assert _apply_predictor(bytes(enc), 10 + tag, columns, 1, 8) == payload
