@@ -93,3 +93,27 @@ def test_spark_path_equals_local_kernel(spark):
         for r in docs.collect()
     }
     assert got == local
+
+
+def test_wide_dedup_path_equals_narrow(spark):
+    """The dedup cost-model switch must be semantics-free: the wide path
+    (groupBy(content_hash) -> tokenize once per distinct -> explode the
+    doc_id list back) yields exactly the narrow path's spans for every
+    doc_id on a duplicate-heavy corpus."""
+    from pdf_extractor_spark.pipeline import extract_spans
+
+    docs = generate_corpus(spark, 60, partitions=4, dup_frac=0.3)
+
+    def spans_of(dedup):
+        return {
+            r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                          for s in r["spans"]]
+            for r in extract_spans(docs, partitions=4, columns="public",
+                                   dedup=dedup)
+            .select("doc_id", "spans").collect()
+        }
+
+    narrow = spans_of("narrow")
+    wide = spans_of("wide")
+    assert wide == narrow
+    assert len(wide) == 60
