@@ -121,9 +121,11 @@ def main() -> None:
         master=f"local[{args.cpus}]",
         # one shuffle partition per core: cpus*2 was measured to cost 2-3x
         # on the small-shuffle headline queries (two task waves + per-task
-        # overhead dominate when partitions are KB-sized); straggler
-        # smoothing for the heterogeneous extract job comes from its own
-        # `partitions` arg, not the SQL shuffle width
+        # overhead dominate when partitions are KB-sized). The extract job
+        # is unaffected: its narrow path has no shuffle (parallelism =
+        # scan splits) and its wide path takes an explicit width via the
+        # `partitions` arg (content-hash repartition reused by the dedup
+        # groupBy).
         shuffle_partitions=args.cpus,
         app_name="bench",
     )
@@ -172,6 +174,9 @@ def main() -> None:
                 elapsed = time.time() - t0
                 best = elapsed if best is None else min(best, elapsed)
             queries[name] = round(best, 3)
+            # queries that persist() intermediates would otherwise pin
+            # their caches for the whole session, skewing later timings
+            spark.catalog.clearCache()
 
     ext = run_extract(spark, corpus, partitions)
     queries["extract_pipeline"] = round(ext["seconds"], 3)

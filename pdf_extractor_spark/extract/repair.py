@@ -40,6 +40,10 @@ from pdf_extractor_spark.extract.udf import extract_fields
 RESULT_COLS = ["doc_id", "label", "plan_branch", "result",
                "llm_in_tokens", "llm_out_tokens", "llm_cost"]
 
+# sentinel KB row carrying per-label metadata (the reference's
+# label_metadata dict, extractor.py:50,607-608): never a real schema field
+LABEL_META_FIELD = "__label__"
+
 
 def plan_documents(docs: DataFrame, kb: DataFrame) -> DataFrame:
     """Tag each document with its planner branch (extractor.py:905-925):
@@ -129,12 +133,17 @@ def extract_with_repair(
             & v.isNotNull(),
         ),
     )
+    # persisted: three consumers (recovered-ok split, re-extract split, the
+    # repair learner) — without the cache each branch re-executes the LLM
+    # stage, i.e. a real client would re-issue (and re-pay) every fallback
+    # call per branch, and a temperature>0 response could split a doc
+    # inconsistently between branches
     patched = recovered.withColumn(
         "result",
         _patched_result(
             F.col("extraction_schema"), F.col("result"), F.col("recovered")
         ),
-    )
+    ).persist()
 
     # O2: derive replacement rules from the recovered values only
     # (derive_only — a value U7 cannot locate leaves the old rule in place)
@@ -221,7 +230,11 @@ def bootstrap_labels(
         ),
     )
     fixo, fields = llm_mod.parse_bootstrap_response(F.col("llm_response"))
-    parsed = called.withColumn("_fixo", fixo).withColumn("values", fields)
+    # persisted: consumed by the doc results, the rule learner, and the
+    # label-metadata rows — one LLM execution per bootstrap doc
+    parsed = (
+        called.withColumn("_fixo", fixo).withColumn("values", fields).persist()
+    )
 
     # result for the bootstrap doc itself = the LLM's values, collapsed,
     # null-filled over the schema (extractor.py:611-643,964-966)
@@ -239,11 +252,24 @@ def bootstrap_labels(
     # (extractor.py:628,636 guard `if ... and is_fixed`) and only when the
     # bootstrap call actually answered (a failed call returns all-None and
     # learns nothing, :601-604 — the label stays unseen for the next batch)
-    learned = learn_kb(
-        parsed.where(F.col("_fixo") & F.col("llm_response").isNotNull()),
-        values_col="values",
-    )
-    return results.select(*RESULT_COLS), learned
+    answered = parsed.where(F.col("llm_response").isNotNull())
+    learned = learn_kb(answered.where(F.col("_fixo")), values_col="values")
+    # every ANSWERED label also records a metadata row carrying its
+    # template flag (the reference's label_metadata, extractor.py:607-608)
+    # — without it a variable-template label has no KB presence and would
+    # re-bootstrap (another paid LLM call) on every future batch instead
+    # of routing to the whole-doc branch. The sentinel field never matches
+    # a schema key, so the extraction kernel ignores it.
+    meta_rows = answered.select(
+        "label",
+        F.lit(LABEL_META_FIELD).alias("field"),
+        F.lit("META").alias("type"),
+        F.lit(None).cast("array<double>").alias("zone"),
+        F.lit(0.0).alias("confidence"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.col("_fixo").alias("template_fixo"),
+    ).dropDuplicates(["label"])  # distinct() rejects MAP columns
+    return results.select(*RESULT_COLS), learned.unionByName(meta_rows)
 
 
 def llm_full_extract(
@@ -293,7 +319,12 @@ def extract_planned(
     boot_results, learned = bootstrap_labels(boot_docs, replay)
     kb_aug = kb.unionByName(learned)
 
-    fixed_labels = learned.select("label").distinct()
+    # fixed = labels whose metadata/rule rows carry template_fixo=true; a
+    # variable label contributes only its META row (fixo=false) and routes
+    # to the whole-doc branch
+    fixed_labels = (
+        learned.where(F.col("template_fixo")).select("label").distinct()
+    )
     w = Window.partitionBy("label").orderBy("doc_id")
     boot_rest = (
         boot_docs.withColumn("_rk", F.row_number().over(w))

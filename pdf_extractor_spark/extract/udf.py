@@ -72,11 +72,17 @@ def extract_fields_udf(
 
 
 def kb_per_label(kb: DataFrame) -> DataFrame:
-    """Aggregate the KB dim table to one row per label (broadcast side)."""
+    """Aggregate the KB dim table to one row per label (broadcast side).
+
+    META sentinel rows (per-label template metadata, repair.LABEL_META_FIELD)
+    carry the template flag but are not extraction rules — collect_list
+    drops them via the when()'s null."""
+    rule = F.when(
+        F.col("type") != "META",
+        F.struct("field", "type", "zone", "confidence", "metadata"),
+    )
     return kb.groupBy("label").agg(
-        F.collect_list(
-            F.struct("field", "type", "zone", "confidence", "metadata")
-        ).alias("heuristics"),
+        F.collect_list(rule).alias("heuristics"),
         F.any_value("template_fixo").alias("template_fixo"),
     )
 

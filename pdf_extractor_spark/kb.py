@@ -21,8 +21,23 @@ def kb_rows_from_json(data: Dict[str, Any]) -> List[Dict[str, Any]]:
     meta = data.get("metadata", {})
     kb = data.get("kb", data)
     rows: List[Dict[str, Any]] = []
+    # labels present only in metadata (e.g. variable templates with no
+    # rules) still need a sentinel row so their template flag survives
+    for label in meta:
+        if label not in kb:
+            rows.append(
+                {"label": label, "field": "__label__", "type": "META",
+                 "zone": None, "confidence": 0.0, "metadata": {},
+                 "template_fixo": bool(meta[label].get("template_fixo", True))}
+            )
     for label, fields in kb.items():
         fixed = bool(meta.get(label, {}).get("template_fixo", True))
+        if not fields:  # known label, empty rule set → metadata row only
+            rows.append(
+                {"label": label, "field": "__label__", "type": "META",
+                 "zone": None, "confidence": 0.0, "metadata": {},
+                 "template_fixo": fixed}
+            )
         for field_name, h in fields.items():
             if h.get("type") == "TABLE":  # legacy skip
                 continue
@@ -57,16 +72,18 @@ def kb_df(spark: SparkSession, rows: List[Dict[str, Any]]) -> DataFrame:
 
 
 def export_kb_json(kb: DataFrame, path: str) -> None:
-    """KB table → reference-format JSON (extractor.py:764-783)."""
+    """KB table → reference-format JSON (extractor.py:764-783). META
+    sentinel rows become label_metadata entries, not fields."""
     out: Dict[str, Any] = {"kb": {}, "metadata": {}}
     for r in kb.collect():
         label_kb = out["kb"].setdefault(r["label"], {})
-        label_kb[r["field"]] = {
-            "type": r["type"],
-            "value": list(r["zone"]) if r["zone"] is not None else None,
-            "confidence": r["confidence"],
-            "metadata": dict(r["metadata"] or {}),
-        }
+        if r["type"] != "META":
+            label_kb[r["field"]] = {
+                "type": r["type"],
+                "value": list(r["zone"]) if r["zone"] is not None else None,
+                "confidence": r["confidence"],
+                "metadata": dict(r["metadata"] or {}),
+            }
         out["metadata"][r["label"]] = {"template_fixo": bool(r["template_fixo"])}
     with open(path, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=2, ensure_ascii=False)

@@ -219,10 +219,13 @@ def extract_spans(
             "doc_id", "content_hash", "page_width", "page_height",
             "spans", *extra,
         )
-    # no skew_repartition here: the groupBy exchange already distributed
-    # rows by content_hash (uniform), so a second repartition on the same
-    # key would be a pure extra shuffle — "one shuffle total" holds
-    distinct = dedup_with_lineage(df)
+    # ONE exchange total, at the caller-chosen width: the explicit
+    # repartition on content_hash sets the task count for the tokenize
+    # stage (uniform hash key spreads megabyte skew docs), and the groupBy
+    # on the SAME key reuses that partitioning — Catalyst inserts no second
+    # exchange (ClusteredDistribution satisfied). A repartition AFTER the
+    # groupBy would be the redundant-shuffle version of this.
+    distinct = dedup_with_lineage(skew_repartition(df, partitions))
     tokenized = tokenize_stage(distinct, columns=columns).select(
         "content_hash", "doc_ids", "page_width", "page_height",
         "spans", *extra,
@@ -233,6 +236,62 @@ def extract_spans(
 # ---------------------------------------------------------------------------
 # Runnable job with lineage/metrics checkpointing
 # ---------------------------------------------------------------------------
+
+
+def _read_kb_state(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Load the persisted KB, healing an interrupted swap first.
+
+    Swap protocol (see _swap_kb_state): kb_new is written, kb is renamed to
+    kb_old, kb_new renamed to kb, kb_old removed. A crash can leave (a) kb
+    missing with kb_old present → roll BACK (kb_new may be incomplete), or
+    (b) kb present with leftovers → just clean up."""
+    import shutil
+
+    from pdf_extractor_spark.kb import kb_df
+
+    kb_dir = os.path.join(output_dir, "kb")
+    kb_old = kb_dir + "_old"
+    if not os.path.isdir(kb_dir) and os.path.isdir(kb_old):
+        os.rename(kb_old, kb_dir)  # crashed mid-swap → previous state wins
+    shutil.rmtree(kb_old, ignore_errors=True)
+    shutil.rmtree(kb_dir + "_new", ignore_errors=True)
+    if os.path.isdir(kb_dir):
+        return spark.read.parquet(kb_dir)
+    return kb_df(spark, [])
+
+
+def _swap_kb_state(spark: SparkSession, output_dir: str, kb_out: DataFrame) -> None:
+    """Atomically-enough replace the persisted KB: write to kb_new, shelve
+    the old dir (rename, not delete), promote kb_new, drop the shelf. Every
+    crash window leaves either the old or the new complete state
+    recoverable (_read_kb_state heals on the next run)."""
+    import shutil
+
+    kb_dir = os.path.join(output_dir, "kb")
+    kb_new, kb_old = kb_dir + "_new", kb_dir + "_old"
+    kb_out.write.mode("overwrite").parquet(kb_new)
+    if os.path.isdir(kb_dir):
+        os.rename(kb_dir, kb_old)
+    os.rename(kb_new, kb_dir)
+    shutil.rmtree(kb_old, ignore_errors=True)
+
+
+def _guard_run_id_unused(ckpt: Optional[DataFrame], run_id: str) -> None:
+    """Refuse to reuse a run_id that already committed docs.
+
+    The per-run directory is written with mode("overwrite") so a mid-write
+    retry of the SAME attempt is idempotent — but reusing a committed
+    run_id against NEW input would overwrite the old run's spans with only
+    the new docs while lineage still marks the old docs committed: silent
+    permanent data loss. A committed run_id is therefore sealed."""
+    if ckpt is None:
+        return
+    if not ckpt.where(F.col("run_id") == run_id).isEmpty():
+        raise ValueError(
+            f"run_id {run_id!r} already has committed lineage rows; "
+            "each run (or retry of an uncommitted run) must reuse the id, "
+            "but new work needs a fresh run_id"
+        )
 
 
 def run_extraction_job(
@@ -276,6 +335,7 @@ def run_extraction_job(
                 "run_id": run_id, "docs": 0, "seconds": time.time() - t0,
                 "docs_per_sec": 0.0, "metrics": {"docs": 0},
             }
+        _guard_run_id_unused(ckpt, run_id)
     # spans-only job → push the public projection into the kernel (geometry
     # and full_text never cross Arrow; full_text is derivable from spans).
     result = extract_spans(
@@ -355,7 +415,6 @@ def run_field_extraction_job(
     )
     from pdf_extractor_spark.extract.llm import cost_summary
     from pdf_extractor_spark.extract.repair import extract_planned
-    from pdf_extractor_spark.kb import kb_df
 
     run_id = run_id or uuid.uuid4().hex
     t0 = time.time()
@@ -370,14 +429,16 @@ def run_field_extraction_job(
         if docs.isEmpty():
             return {"run_id": run_id, "docs": 0,
                     "seconds": time.time() - t0, "metrics": {}}
+        _guard_run_id_unused(ckpt, run_id)
     if kb is None:
-        kb_dir = os.path.join(output_dir, "kb")
-        if os.path.isdir(kb_dir):  # continue from the persisted KB state
-            kb = spark.read.parquet(kb_dir)
-        else:
-            kb = kb_df(spark, [])
+        kb = _read_kb_state(spark, output_dir)
 
-    tokenized = tokenize_stage(with_content_hash(docs))
+    # persist the tokenized frame: the planner fans it into five consumers
+    # (bootstrap window, post-bootstrap routing, heuristics, llm_full, the
+    # content-hash join below) — without the cache every branch re-runs the
+    # Arrow tokenize kernel; at larger scale swap for DISK_ONLY or a
+    # spans-table checkpoint
+    tokenized = tokenize_stage(with_content_hash(docs)).persist()
     results, kb_out = extract_planned(tokenized, kb, replay or {})
     hashes = tokenized.select("doc_id", "content_hash")
     out = (
@@ -391,22 +452,17 @@ def run_field_extraction_job(
     out.write.mode("overwrite").parquet(
         spans_run_path(output_dir, run_id, table="results")
     )
+    # KB state is written BEFORE the lineage commit: if we crash in
+    # between, the resume re-runs the batch with the already-updated KB
+    # (idempotent — the repaired rules re-derive to themselves); the
+    # opposite order would commit the docs while dropping the rules their
+    # repair learned
+    _swap_kb_state(spark, output_dir, kb_out)
     n_docs = write_checkpoint(spark, output_dir, run_id, table="results")
-
-    # KB state at job end (the reference exports after every batch) —
-    # written to a fresh dir then swapped so a crash never corrupts the
-    # previous KB
+    tokenized.unpersist()
     committed_results = spark.read.parquet(
         spans_run_path(output_dir, run_id, table="results")
     )
-    kb_dir = os.path.join(output_dir, "kb")
-    kb_tmp = kb_dir + "_new"
-    kb_out.write.mode("overwrite").parquet(kb_tmp)
-    import shutil
-
-    if os.path.isdir(kb_dir):
-        shutil.rmtree(kb_dir)
-    os.rename(kb_tmp, kb_dir)
 
     # metrics: A3 counters + F10 cost columns in one append
     cost = cost_summary(committed_results).collect()[0].asDict()

@@ -407,19 +407,19 @@ SESSION_GAP_SEC = 1800  # 30 min inactivity ends a session
 @register(
     "w5_sessionize",
     f"""WITH seq AS (
-         SELECT user_id, floor(epoch(ts))::BIGINT AS t, value,
+         SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS t, value,
                 lag(floor(epoch(ts))::BIGINT)
                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
          FROM events
        ), flagged AS (
-         SELECT user_id, t, value,
+         SELECT user_id, event_id, t, value,
                 CASE WHEN prev_t IS NULL OR t - prev_t > {SESSION_GAP_SEC}
                      THEN 1 ELSE 0 END AS new_session
          FROM seq
        ), numbered AS (
          SELECT user_id, t, value,
                 sum(new_session) OVER (
-                  PARTITION BY user_id ORDER BY t
+                  PARTITION BY user_id ORDER BY t, event_id
                   ROWS UNBOUNDED PRECEDING) AS session_no
          FROM flagged
        )
@@ -441,7 +441,7 @@ def w5_sessionize(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     tcol = F.floor(F.unix_timestamp("ts")).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select("user_id", tcol.alias("t"), "value",
+    seq = e.select("user_id", "event_id", tcol.alias("t"), "value",
                    F.lag(tcol).over(w).alias("prev_t"))
     flagged = seq.withColumn(
         "new_session",
@@ -451,9 +451,13 @@ def w5_sessionize(spark, sf_dir):
             1,
         ).otherwise(0),
     )
+    # event_id tiebreak: t is floored to seconds, so two events sharing a
+    # second at a session boundary would otherwise get engine-dependent
+    # running-sum order (and flaky session membership); same ORDER BY in
+    # the oracle
     w2 = (
         Window.partitionBy("user_id")
-        .orderBy("t")
+        .orderBy("t", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     numbered = flagged.withColumn("session_no", F.sum("new_session").over(w2))

@@ -55,9 +55,14 @@ def _dedup_fn(
         return
     first = None
     for pdf in pdfs:
-        if len(pdf) and first is None:
-            # deterministic representative: min doc_id within the batch
-            first = pdf.sort_values("doc_id").iloc[[0]]
+        # a large duplicate group spans multiple Arrow chunks: track the
+        # min doc_id across ALL of them, not just the first non-empty
+        # chunk, so the representative is deterministic regardless of
+        # batch/chunk boundaries
+        if len(pdf):
+            cand = pdf.sort_values("doc_id").iloc[[0]]
+            if first is None or cand["doc_id"].iloc[0] < first["doc_id"].iloc[0]:
+                first = cand
     state.update((True,))
     if first is not None:
         yield pd.DataFrame(

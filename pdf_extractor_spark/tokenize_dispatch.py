@@ -27,8 +27,9 @@ byte-identical span sequences (golden-tested on the reference fixtures).
 
 from __future__ import annotations
 
-import math
 import re
+import struct
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any, Dict
 
 import pandas as pd
@@ -55,14 +56,27 @@ def _null_low(v):  # SQL NULLS FIRST under ascending order
     return (0, "") if v is None else (1, v)
 
 
+_F32 = struct.Struct("f")
+_CENT = Decimal("0.01")
+
+
 def _round2(v: float) -> float:
-    """HALF_UP to 2 decimals — Spark's F.round/BigDecimal semantics. Python
-    round() is banker's (round(700.125, 2) == 700.12 vs Spark's 700.13), so
-    using it here could order spans differently from assemble.ordered_spans
-    on exactly-representable halfway coordinates. Coordinates are
-    non-negative (PDF user space / HTML layout), so floor(x·100+0.5) is
-    exact HALF_UP."""
-    return math.floor(v * 100.0 + 0.5) / 100.0
+    """Replicate the Column path's F.round(geo_col, 2) EXACTLY.
+
+    Two subtleties make naive arithmetic diverge from Spark:
+    * the geo columns are float32 (GEO_SPAN_STRUCT), so the Column path
+      rounds the float32-cast value while the kernel holds float64 —
+      quantize through a float32 round-trip first;
+    * Spark's Round = BigDecimal.valueOf(double) HALF_UP, i.e. it rounds
+      the SHORTEST DECIMAL REPR of the double (Double.toString), not the
+      binary value: the double printing as "0.145" rounds to 0.15 even
+      though its binary value is below 0.145. Python's repr() is the same
+      shortest-round-trip algorithm, so Decimal(repr(x)) matches; a
+      floor(x*100+0.5) would give 0.14 there. (Python's round() is
+      banker's — wrong on exact halves like 700.125 — and was the original
+      bug.)"""
+    v32 = _F32.unpack(_F32.pack(v))[0]
+    return float(Decimal(repr(v32)).quantize(_CENT, rounding=ROUND_HALF_UP))
 
 
 def _sort_key(s: Dict[str, Any]):

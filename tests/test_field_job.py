@@ -95,3 +95,60 @@ def test_field_job_incremental_docs_use_repaired_kb(spark, tmp_path):
     results = spark.read.parquet(os.path.join(out_dir, "results"))
     vals = {r["doc_id"]: r["result"]["registro"] for r in results.collect()}
     assert vals == {f"card_{i}": "55123" for i in range(3)}
+
+
+def test_variable_template_label_persists_not_rebootstrapped(spark, tmp_path):
+    """A label the bootstrap marks template_fixo=false must be REMEMBERED
+    (the reference's label_metadata): the next batch routes its docs to the
+    whole-doc LLM branch instead of paying another bootstrap call."""
+    docs1 = str(tmp_path / "docs1")
+    out_dir = str(tmp_path / "out")
+    _write_docs(spark, docs1, n=1, label="notas")
+    run_field_extraction_job(
+        spark, docs1, out_dir,
+        replay={"notas": replay_response({"registro": "111"},
+                                         template_fixo=False)},
+        run_id="r1", partitions=4,
+    )
+    kb = spark.read.parquet(os.path.join(out_dir, "kb"))
+    meta = kb.where(F.col("label") == "notas").collect()
+    assert len(meta) == 1 and meta[0]["type"] == "META"
+    assert meta[0]["template_fixo"] is False
+
+    docs2 = str(tmp_path / "docs2")
+    _write_docs(spark, docs2, n=3, label="notas")
+    s2 = run_field_extraction_job(
+        spark, docs2, out_dir,
+        replay={f"card_{i}": replay_response({"registro": "222"})
+                for i in range(1, 3)},
+        run_id="r2", partitions=4,
+    )
+    assert s2["docs"] == 2
+    results = spark.read.parquet(os.path.join(out_dir, "results"))
+    rows = {r["doc_id"]: r for r in results.collect() if r["doc_id"] != "card_0"}
+    # routed straight to llm_full — NOT bootstrap — with per-doc calls
+    assert {r["plan_branch"] for r in rows.values()} == {"llm_full"}
+    assert all(r["result"]["registro"] == "222" for r in rows.values())
+
+
+def test_committed_run_id_cannot_be_reused(spark, tmp_path):
+    """Reusing a committed run_id against new input would overwrite the old
+    run's output while lineage still marks it committed — the job must
+    refuse instead of silently losing data."""
+    import pytest as _pytest
+
+    docs1 = str(tmp_path / "docs1")
+    out_dir = str(tmp_path / "out")
+    _write_docs(spark, docs1, n=1)
+    run_field_extraction_job(spark, docs1, out_dir, kb=kb_df(spark, BROKEN_KB),
+                             replay={}, run_id="r1", partitions=4)
+    docs2 = str(tmp_path / "docs2")
+    _write_docs(spark, docs2, n=3)
+    with _pytest.raises(ValueError, match="committed lineage"):
+        run_field_extraction_job(spark, docs2, out_dir, replay={},
+                                 run_id="r1", partitions=4)
+    # fresh run_id proceeds fine and old data is intact
+    s = run_field_extraction_job(spark, docs2, out_dir, replay={},
+                                 run_id="r2", partitions=4)
+    assert s["docs"] == 2
+    assert spark.read.parquet(os.path.join(out_dir, "results")).count() == 3
