@@ -536,16 +536,44 @@ def _mat_mul(a, b):
 _IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
+# inline images (PDF 32000-1 §8.9.7): BI <dict> ID <binary...> EI. The
+# binary payload would otherwise feed the token regex garbage (parens,
+# digits, operator-shaped bytes) and could emit junk text spans — strip
+# whole segments before interpreting. EI must be delimited on both sides
+# so payload bytes that merely contain "EI" don't end the segment early.
+_INLINE_IMG_RE = re.compile(
+    rb"(?:^|(?<=[\s\)\]>]))BI\b.*?\bID[ \r\n].*?[\s]EI(?=[\s]|$)", re.DOTALL
+)
+
+
+def _strip_inline_images(content: bytes) -> bytes:
+    if b"BI" not in content:
+        return content
+    return _INLINE_IMG_RE.sub(b" ", content)
+
+
 def _run_content(
     content: bytes,
     image_xobjects: Dict[str, Tuple[float, float]],
     font_encodings: Optional[Dict[str, Dict[int, str]]] = None,
+    form_xobjects: Optional[Dict[str, bytes]] = None,
+    depth: int = 0,
+    base_ctm: Tuple[float, ...] = _IDENTITY,
 ) -> List[PdfSpan]:
-    """Interpret a page content stream → raw spans (document order)."""
+    """Interpret a page content stream → raw spans (document order).
+
+    ``form_xobjects`` maps XObject names to their decoded content streams:
+    ``/Name Do`` on a Form executes it inline under the current CTM
+    (PDF 32000-1 §8.10 — many generators put the actual page text inside
+    forms), recursion-capped at 4 levels; ``base_ctm`` is the invoker's
+    matrix (the form's own /Matrix is prepended as a ``cm`` by the
+    resource loader, composing correctly on top)."""
+    content = _strip_inline_images(content)
     font_encodings = font_encodings or {}
+    form_xobjects = form_xobjects or {}
     cur_enc: Optional[Dict[int, str]] = None  # active font's /Differences
     spans: List[PdfSpan] = []
-    ctm = _IDENTITY
+    ctm = base_ctm
     gs_stack: List[Tuple[float, ...]] = []
     tm = _IDENTITY
     tlm = _IDENTITY
@@ -651,7 +679,7 @@ def _run_content(
                 if op == "q":
                     gs_stack.append(ctm)
                 elif op == "Q":
-                    ctm = gs_stack.pop() if gs_stack else _IDENTITY
+                    ctm = gs_stack.pop() if gs_stack else base_ctm
                 elif op == "cm" and len(stack) >= 6:
                     mat = tuple(stack[-6:])
                     ctm = _mat_mul(mat, ctm)
@@ -704,7 +732,18 @@ def _run_content(
                     name = stack[-1]
                     if isinstance(name, str) and name.startswith("/"):
                         ref = name[1:]
-                        if ref in image_xobjects:
+                        if ref in form_xobjects and depth < 4:
+                            spans.extend(
+                                _run_content(
+                                    form_xobjects[ref],
+                                    image_xobjects,
+                                    font_encodings,
+                                    form_xobjects,
+                                    depth + 1,
+                                    base_ctm=ctm,
+                                )
+                            )
+                        elif ref in image_xobjects:
                             # image unit square → CTM: position (e,f), size (a,d)
                             x, y = ctm[4], ctm[5]
                             w, h = abs(ctm[0]), abs(ctm[3])
@@ -815,6 +854,36 @@ def _font_encodings(page_dict: bytes, objects) -> Dict[str, Dict[int, str]]:
     return out
 
 
+def _form_xobjects(page_dict: bytes, objects) -> Dict[str, bytes]:
+    """Map XObject name → decoded content for /Subtype/Form resources.
+
+    A form's own /Matrix [a b c d e f] is prepended as a ``cm`` op so it
+    composes with the invoker's CTM exactly as §8.10.1 specifies."""
+    out: Dict[str, bytes] = {}
+    xo_raw = _dict_value(page_dict, b"XObject")
+    if xo_raw is None:
+        return out
+    for m in re.finditer(rb"/([^\s/\[\]<>()]+)\s+(\d+)\s+\d+\s+R", xo_raw[:2000]):
+        name = m.group(1).decode("latin-1")
+        ref = int(m.group(2))
+        if ref not in objects:
+            continue
+        d, stream = objects[ref]
+        if b"/Form" not in d or stream is None:
+            continue
+        dec = _decode_stream(d, stream)
+        if not dec:
+            continue
+        mat_raw = _dict_value(d, b"Matrix")
+        if mat_raw is not None:
+            end = mat_raw.find(b"]")
+            nums = _NUM_RE.findall(mat_raw[: end if end > 0 else 96])[:6]
+            if len(nums) == 6:
+                dec = b" ".join(nums) + b" cm\n" + dec
+        out[name] = dec
+    return out
+
+
 def _page_content(page_dict: bytes, objects) -> bytes:
     """Collect the page's content stream(s) in order.
 
@@ -922,7 +991,12 @@ def tokenize_pdf(data: bytes) -> Dict[str, Any]:
             if rot in (90, 270):
                 pw, ph = ph, pw
             return {"page_width": pw, "page_height": ph, "spans": []}
-        spans = _run_content(content, images, _font_encodings(page_dict, objects))
+        spans = _run_content(
+            content,
+            images,
+            _font_encodings(page_dict, objects),
+            _form_xobjects(page_dict, objects),
+        )
         spans, pw, ph = _apply_rotation(spans, rot, pw, ph)
         return {"page_width": pw, "page_height": ph, "spans": spans}
     except Exception:

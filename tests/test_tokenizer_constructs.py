@@ -320,3 +320,83 @@ def test_differences_glyph_name_forms():
     assert _glyph_to_char("uni0041") == "A"
     assert _glyph_to_char("seven") == "7"
     assert _glyph_to_char("nonexistentglyph") is None
+
+
+# --- inline images (BI/ID/EI) -----------------------------------------------
+
+
+def test_inline_image_binary_skipped():
+    """The inline image's binary payload (parens, operator-shaped bytes)
+    must not leak junk text spans; surrounding text survives."""
+    payload = bytes(range(256)) + b"(fake) Tj BT junk"
+    ops = (b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (before) Tj ET\n"
+           b"BI /W 4 /H 4 /BPC 8 /CS /RGB ID " + payload + b" EI\n"
+           b"BT /F1 10 Tf 1 0 0 1 50 600 Tm (after) Tj ET")
+    got = [t for t, _, _ in _texts(tokenize_pdf(_pdf(ops)))]
+    assert got == ["before", "after"]
+
+
+def test_inline_image_payload_containing_EI_bytes():
+    # 'WEIRD' contains the letters EI without delimiters — must not
+    # terminate the segment early
+    ops = (b"BI /W 1 /H 1 ID WEIRDxx\x00\x01 EI\n"
+           b"BT /F1 10 Tf 1 0 0 1 50 600 Tm (ok) Tj ET")
+    assert [t for t, _, _ in _texts(tokenize_pdf(_pdf(ops)))] == ["ok"]
+
+
+# --- Form XObjects ----------------------------------------------------------
+
+
+def _form_obj(num: int, ops: bytes, matrix: bytes = b"") -> bytes:
+    s = zlib.compress(ops)
+    mat = b"/Matrix " + matrix + b" " if matrix else b""
+    return (b"%d 0 obj << /Type/XObject /Subtype/Form %s/BBox [0 0 612 792] "
+            b"/Length %d /Filter /FlateDecode >> stream\n%s\nendstream endobj"
+            % (num, mat, len(s), s))
+
+
+def _pdf_with_form(page_ops: bytes, form_objs: list[bytes], xobj_res: bytes) -> bytes:
+    stream = zlib.compress(page_ops)
+    objs = [
+        b"1 0 obj << /Type/Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type/Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type/Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 9 0 R >> "
+        b"/XObject << " + xobj_res + b" >> >> >> endobj",
+        b"4 0 obj << /Length %d /Filter /FlateDecode >> stream\n%s\nendstream endobj"
+        % (len(stream), stream),
+    ] + form_objs
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+
+
+def test_form_xobject_content_extracted():
+    form = _form_obj(10, b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (inform) Tj ET")
+    pdf = _pdf_with_form(b"/Frm Do", [form], b"/Frm 10 0 R")
+    got = _texts(tokenize_pdf(pdf))
+    assert [t for t, _, _ in got] == ["inform"]
+    assert got[0][1:] == (50.0, 700.0)
+
+
+def test_form_xobject_positioned_by_invoker_ctm_and_matrix():
+    # invoker translates by (100, 50); the form's /Matrix adds (10, 5)
+    form = _form_obj(10, b"BT /F1 10 Tf 1 0 0 1 0 0 Tm (at) Tj ET",
+                     matrix=b"[1 0 0 1 10 5]")
+    pdf = _pdf_with_form(b"q 1 0 0 1 100 50 cm /Frm Do Q", [form],
+                         b"/Frm 10 0 R")
+    got = _texts(tokenize_pdf(pdf))
+    assert [t for t, _, _ in got] == ["at"]
+    assert got[0][1:] == (110.0, 55.0)
+
+
+def test_form_xobject_nested_and_capped():
+    # F1 draws text and invokes F2; F2 draws more text; a self-recursive
+    # form must not loop forever (depth cap)
+    f2 = _form_obj(11, b"BT /F1 10 Tf 1 0 0 1 50 600 Tm (inner) Tj ET")
+    f1 = _form_obj(
+        10, b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (outer) Tj ET /F2 Do")
+    selfrec = _form_obj(12, b"BT /F1 10 Tf 1 0 0 1 50 500 Tm (rec) Tj ET /R Do")
+    pdf = _pdf_with_form(b"/FA Do /R Do", [f1, f2, selfrec],
+                         b"/FA 10 0 R /F2 11 0 R /R 12 0 R")
+    got = sorted(t for t, _, _ in _texts(tokenize_pdf(pdf)))
+    assert "outer" in got and "inner" in got
+    assert got.count("rec") == 4  # depth cap: executions at depth 1..4
