@@ -41,6 +41,17 @@ HEADLINE = [
     "text_langid",
 ]
 
+# measured the same way but reported separately — keeps the HEADLINE set
+# comparable round over round while still timing the newer operators
+EXTENDED = [
+    "dedup_clusters",
+    "w5_sessionize",
+    "text_quality_filter",
+    "text_winnowing",
+    "text_fingerprint",
+    "sim_ann_ivf_topk",
+]
+
 CORPUS_DOCS_PER_SF = 100_000  # sf0.1 → 10k synthetic docs
 CORPUS_CACHE = os.environ.get("SPARK_GRAFT_CORPUS_CACHE", "/tmp/spark_graft_corpus")
 
@@ -157,12 +168,14 @@ def main() -> None:
     # times (measured: dedup_minhash_bands 2.1s on a clean heap vs 6.8s
     # after the extract legs). On a cluster these workloads live in
     # separate executors; serializing them here mixes their interference.
+    extended: dict[str, float] = {}
     if not args.extract_only:
         registry = q.all_queries()
-        for name in HEADLINE:
+
+        def timed(name: str, into: dict) -> None:
             fn = registry.get(name)
             if fn is None:
-                continue
+                return
             # best-of-2: the first execution of a query pays whole-stage
             # codegen compilation (measured: 7.4s vs 2.7s steady-state on
             # dedup_minhash_bands) — report steady state, which is what a
@@ -173,10 +186,15 @@ def main() -> None:
                 fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
                 elapsed = time.time() - t0
                 best = elapsed if best is None else min(best, elapsed)
-            queries[name] = round(best, 3)
+            into[name] = round(best, 3)
             # queries that persist() intermediates would otherwise pin
             # their caches for the whole session, skewing later timings
             spark.catalog.clearCache()
+
+        for name in HEADLINE:
+            timed(name, queries)
+        for name in EXTENDED:
+            timed(name, extended)
 
     ext = run_extract(spark, corpus, partitions)
     queries["extract_pipeline"] = round(ext["seconds"], 3)
@@ -191,6 +209,7 @@ def main() -> None:
         "cpus": args.cpus,
         "extract_docs": ext["docs"],
         "docs_per_sec": round(ext["docs_per_sec"], 2),
+        "queries_extended": extended,
         "timing": "best-of-2 per query and per extraction job (steady state)",
     }))
     spark.stop()
