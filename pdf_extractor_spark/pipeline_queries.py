@@ -229,10 +229,19 @@ def dedup_clusters(spark, sf_dir):
     small-star formulation, same dataflow shape). The oracle states the
     same fixpoint as a recursive CTE."""
     pairs = dedup_minhash_bands(spark, sf_dir)
+    return _connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
+
+
+def _connected_components(pairs, a_col: str, b_col: str):
+    """Min-label propagation over an undirected pair graph → (id, label)
+    with label = the component's min node id. One join + grouped min per
+    round; the strictly-decreasing label sum is the convergence scalar."""
     edges = pairs.select(
-        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+        F.col(a_col).alias("s"), F.col(b_col).alias("d")
     ).unionByName(
-        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d"))
     )
     labels = edges.select(F.col("s").alias("id")).distinct().withColumn(
         "label", F.col("id")
@@ -262,7 +271,7 @@ def dedup_clusters(spark, sf_dir):
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep"))
+    return labels
 
 
 @register(
@@ -506,6 +515,57 @@ def sim_cosine_pairs(spark, sf_dir):
             F.col("vec_id").alias("neighbor_id"),
             F.round("cos_raw", 3).alias("cos"),
         )
+    )
+
+
+EMB_DUP_COS = 0.4  # cosine threshold for embedding near-duplicates
+# (the synthetic embeddings are near-random — 0.4 is already the far
+# tail there; real sentence embeddings would use ~0.9)
+
+
+@register(
+    "dedup_embedding_clusters",
+    f"""WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) > {EMB_DUP_COS}
+        ), edges AS (
+          SELECT va AS s, vb AS d FROM pairs
+          UNION ALL SELECT vb, va FROM pairs
+        ), nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.d, r.label FROM reach r JOIN edges e ON r.id = e.s
+        )
+        SELECT id AS vec_id, min(label) AS cluster_rep FROM reach GROUP BY id""",
+)
+def dedup_embedding_clusters(spark, sf_dir):
+    """Embedding-cosine near-dup clusters: vectors whose cosine exceeds the
+    threshold form an edge; connected components assign every near-dup to
+    its component's min vec_id (keep-one-representative for semantic
+    dedup). Pair generation here is the exact all-pairs baseline (JVM
+    zip_with/aggregate math, correct at oracle scale); at 10^9 vectors the
+    candidate pairs come from the LSH/IVF bucketing of sim_ann_* instead —
+    the component stage is identical either way."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .withColumn("_cos", dot / (norm(F.col("ea")) * norm(F.col("eb"))))
+        .where(F.col("_cos") > EMB_DUP_COS)
+        .select("va", "vb")
+    )
+    return _connected_components(pairs, "va", "vb").select(
+        F.col("id").alias("vec_id"), F.col("label").alias("cluster_rep")
     )
 
 
