@@ -378,8 +378,15 @@ def _bytes_to_text(b: bytes, enc_map: Optional[Dict[int, str]] = None) -> str:
 
 def _decode_pdf_string(raw: bytes, enc_map: Optional[Dict[int, str]] = None) -> str:
     """Decode a literal PDF string body (inside parens): escapes +
-    /Differences-aware byte decoding."""
-    return _bytes_to_text(_unescape_pdf_string(raw), enc_map)
+    /Differences-aware byte decoding. Text strings may be UTF-16BE with a
+    BOM in literal form too (PDF 32000-1 §7.9.2.2), not only hex."""
+    b = _unescape_pdf_string(raw)
+    if b[:2] == b"\xfe\xff":
+        try:
+            return b[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return ""
+    return _bytes_to_text(b, enc_map)
 
 
 # --- glyph names (Adobe Glyph List subset) ----------------------------------

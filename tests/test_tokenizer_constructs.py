@@ -400,3 +400,10 @@ def test_form_xobject_nested_and_capped():
     got = sorted(t for t, _, _ in _texts(tokenize_pdf(pdf)))
     assert "outer" in got and "inner" in got
     assert got.count("rec") == 4  # depth cap: executions at depth 1..4
+
+
+def test_literal_string_utf16_bom():
+    # UTF-16BE with BOM inside a LITERAL string (§7.9.2.2): \376\377 = FEFF
+    ops = (b"BT /F1 10 Tf 1 0 0 1 50 700 Tm "
+           b"(\\376\\377\x00h\x00i) Tj ET")
+    assert [t for t, _, _ in _texts(tokenize_pdf(_pdf(ops)))] == ["hi"]
