@@ -427,15 +427,15 @@ SESSION_GAP_SEC = 1800  # 30 min inactivity ends a session
          FROM seq
        ), numbered AS (
          SELECT user_id, t, value,
-                sum(new_session) OVER (
+                (sum(new_session) OVER (
                   PARTITION BY user_id ORDER BY t, event_id
-                  ROWS UNBOUNDED PRECEDING) AS session_no
+                  ROWS UNBOUNDED PRECEDING))::BIGINT AS session_no
          FROM flagged
        )
        SELECT user_id, session_no,
               count(*) AS n_events,
               max(t) - min(t) AS duration_sec,
-              round(sum(value), 2) AS total_value
+              (round(sum(value::DECIMAL(18,2)), 2))::DOUBLE AS total_value
        FROM numbered GROUP BY user_id, session_no""",
 )
 def w5_sessionize(spark, sf_dir):
@@ -446,9 +446,24 @@ def w5_sessionize(spark, sf_dir):
     groupBy stages, so at 10^9 events this is a single exchange. The same
     dataflow is the batch shape of a streaming session window
     (F.session_window) — expressed with lag/sum here so the DuckDB oracle
-    can state identical semantics."""
+    can state identical semantics.
+
+    Cross-engine representation hardening (the bug class of the round-2
+    red row): the oracle's window sum is cast ::BIGINT (DuckDB promotes
+    sum to HUGEINT/int128, which the comparison layer renders differently
+    than Spark's BIGINT even when values are identical); total_value sums
+    as DECIMAL(18,2) on both engines and only then converts to double, so
+    no accumulation-order-dependent float sum reaches the hash layer; and
+    the epoch seconds come from a plain timestamp→long cast, which is
+    session-timezone-independent (unix_timestamp is not for all types)."""
     e = t(spark, sf_dir, "events")
-    tcol = F.floor(F.unix_timestamp("ts")).cast("long")
+    # ts is TIMESTAMP_NTZ: wall-clock difference from the epoch literal is
+    # the tz-independent epoch-seconds (a cast via TIMESTAMP would re-anchor
+    # in the session timezone; DuckDB's epoch() on naive timestamps is the
+    # same UTC-as-written arithmetic)
+    tcol = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select("user_id", "event_id", tcol.alias("t"), "value",
                    F.lag(tcol).over(w).alias("prev_t"))
@@ -473,7 +488,9 @@ def w5_sessionize(spark, sf_dir):
     return numbered.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
         (F.max("t") - F.min("t")).alias("duration_sec"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
     )
 
 
