@@ -17,6 +17,13 @@ commit — made safe):
   complete but unreferenced; :func:`reconcile_checkpoint` adopts it by
   deriving its lineage rows from the committed files — the docs are NOT
   re-extracted and the spans table holds no duplicates;
+* crash DURING the lineage commit (a multi-file parquet append is not
+  atomic: some task files land, others do not) → the run has SOME
+  committed rows; :func:`write_checkpoint` is idempotent (it anti-joins
+  the run directory's doc_ids against the rows already in lineage), and
+  :func:`reconcile_checkpoint` re-runs it for any committed run whose
+  lineage row count trails its directory — the missing rows are appended,
+  never the whole run twice;
 * crash AFTER lineage commit → the resume anti-join sees the docs as
   committed; the job writes nothing new.
 
@@ -70,18 +77,28 @@ def write_checkpoint(
     spark: SparkSession, output_dir: str, run_id: str, table: str = SPANS_DIR
 ) -> int:
     """Commit lineage for ONE run by reading back its own partition
-    directory (never the whole spans table).
+    directory (never the whole spans table). Idempotent: docs this run
+    already committed are anti-joined away, so a retry — or a heal after a
+    torn mid-append crash — appends only the missing rows.
 
     Reading the committed files (rather than trusting the in-flight
     DataFrame) makes the checkpoint reflect exactly what is durable — the
     property the reference gets by appending to its journal only after each
-    document is written (batch_extract.py:176-181)."""
+    document is written (batch_extract.py:176-181). ``byte_count`` is the
+    serialized size of each doc's payload column (spans or result map) —
+    the size-aware-scheduling input the lineage schema carries."""
     run_path = spans_run_path(output_dir, run_id, table)
     if not os.path.isdir(run_path):
         return 0
     written = spark.read.parquet(run_path)
     if "partition_id" not in written.columns:
         written = written.withColumn("partition_id", F.lit(-1))
+    payload = next((c for c in ("spans", "result") if c in written.columns), None)
+    byte_count = (
+        F.octet_length(F.to_json(F.col(payload))).cast("long")
+        if payload is not None
+        else F.lit(0).cast("long")
+    )
     lineage = written.select(
         F.lit(run_id).alias("run_id"),
         F.col("partition_id").cast("int").alias("partition_id"),
@@ -89,9 +106,16 @@ def write_checkpoint(
         F.col("content_hash"),
         F.lit("committed").alias("status"),
         F.col("span_count").cast("int").alias("span_count"),
-        F.lit(0).cast("long").alias("byte_count"),
+        byte_count.alias("byte_count"),
         F.current_timestamp().alias("committed_at"),
     )
+    ckpt = read_checkpoint(spark, output_dir)
+    if ckpt is not None:
+        already = ckpt.where(F.col("run_id") == run_id).select("doc_id")
+        if not already.isEmpty():
+            lineage = lineage.join(already, "doc_id", "left_anti")
+            if lineage.isEmpty():
+                return spark.read.parquet(run_path).count()
     lineage.write.mode("append").parquet(checkpoint_path(output_dir))
     return spark.read.parquet(run_path).count()
 
@@ -116,16 +140,32 @@ def reconcile_checkpoint(
     if not runs:
         return adopted
     ckpt = read_checkpoint(spark, output_dir)
+    # one aggregate over lineage (not a collect per run): run_id → committed
+    # row count, to detect torn mid-append commits cheaply
     committed = (
-        {r["run_id"] for r in ckpt.select("run_id").distinct().collect()}
+        {
+            r["run_id"]: r["n"]
+            for r in ckpt.groupBy("run_id").agg(F.count("*").alias("n")).collect()
+        }
         if ckpt is not None
-        else set()
+        else {}
     )
     for rid in runs:
-        if rid in committed:
-            continue
         run_path = spans_run_path(output_dir, rid, table)
-        if os.path.exists(os.path.join(run_path, "_SUCCESS")):
+        has_success = os.path.exists(os.path.join(run_path, "_SUCCESS"))
+        if rid in committed:
+            # torn lineage append (crash DURING the multi-file commit): the
+            # run dir holds docs its lineage is missing — append exactly
+            # those (write_checkpoint anti-joins), else a resume would
+            # re-extract them under a new run_id and duplicate their rows.
+            # Parquet metadata makes the directory count a footer read.
+            if has_success and (
+                spark.read.parquet(run_path).count() > committed[rid]
+            ):
+                write_checkpoint(spark, output_dir, rid, table)
+                adopted.append(rid)
+            continue
+        if has_success:
             write_checkpoint(spark, output_dir, rid, table)
             adopted.append(rid)
         else:

@@ -95,13 +95,17 @@ def _zero_cost(df: DataFrame) -> DataFrame:
 
 
 def extract_with_repair(
-    docs: DataFrame, kb: DataFrame, replay: Dict[str, str]
+    docs: DataFrame, kb: DataFrame, replay: Dict[str, str],
+    caches: Optional[list] = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """U5 heuristics → U3 fallback on the failed fields → O2 KB repair.
 
     ``docs``: tokenized documents (ordered_spans, page_width, page_height,
     full_text, label, extraction_schema). ``replay``: canned fallback
-    responses keyed by doc_id (see extract.llm).
+    responses keyed by doc_id (see extract.llm). ``caches``: when given,
+    every frame this stage persists is appended so the caller can unpersist
+    after materializing results + KB (a long-lived session would otherwise
+    pin storage memory per job run).
 
     Returns (results, repaired_kb): results carries one row per doc with
     the final field map + per-doc LLM cost columns; repaired_kb is ``kb``
@@ -144,6 +148,8 @@ def extract_with_repair(
             F.col("extraction_schema"), F.col("result"), F.col("recovered")
         ),
     ).persist()
+    if caches is not None:
+        caches.append(patched)
 
     # O2: derive replacement rules from the recovered values only
     # (derive_only — a value U7 cannot locate leaves the old rule in place)
@@ -209,7 +215,7 @@ def kb_upsert(kb: DataFrame, new_rows: DataFrame) -> DataFrame:
 
 
 def bootstrap_labels(
-    docs: DataFrame, replay: Dict[str, str]
+    docs: DataFrame, replay: Dict[str, str], caches: Optional[list] = None
 ) -> Tuple[DataFrame, DataFrame]:
     """U1: one LLM call for the FIRST document of each unseen label; its
     values drive heuristic learning (U7 first, U6 for null fields —
@@ -235,6 +241,8 @@ def bootstrap_labels(
     parsed = (
         called.withColumn("_fixo", fixo).withColumn("values", fields).persist()
     )
+    if caches is not None:
+        caches.append(parsed)
 
     # result for the bootstrap doc itself = the LLM's values, collapsed,
     # null-filled over the schema (extractor.py:611-643,964-966)
@@ -300,6 +308,7 @@ def extract_planned(
     docs: DataFrame,
     kb: DataFrame,
     replay: Optional[Dict[str, str]] = None,
+    caches: Optional[list] = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """The full three-way planner over a tokenized doc table.
 
@@ -316,7 +325,7 @@ def extract_planned(
     planned = plan_documents(docs, kb)
 
     boot_docs = planned.where(F.col("plan_branch") == "bootstrap")
-    boot_results, learned = bootstrap_labels(boot_docs, replay)
+    boot_results, learned = bootstrap_labels(boot_docs, replay, caches=caches)
     kb_aug = kb.unionByName(learned)
 
     # fixed = labels whose metadata/rule rows carry template_fixo=true; a
@@ -340,7 +349,7 @@ def extract_planned(
         rest_fixed.withColumn("plan_branch", F.lit("heuristics"))
     )
     heur_results, kb_out = extract_with_repair(
-        heur_docs.drop("plan_branch"), kb_aug, replay
+        heur_docs.drop("plan_branch"), kb_aug, replay, caches=caches
     )
 
     llm_docs = planned.where(F.col("plan_branch") == "llm_full").unionByName(

@@ -256,7 +256,13 @@ def _read_kb_state(spark: SparkSession, output_dir: str) -> DataFrame:
     shutil.rmtree(kb_old, ignore_errors=True)
     shutil.rmtree(kb_dir + "_new", ignore_errors=True)
     if os.path.isdir(kb_dir):
-        return spark.read.parquet(kb_dir)
+        # materialize the KB off its files into a local relation: the KB is
+        # dimension-sized (broadcast everywhere downstream — the reference
+        # holds it as an in-memory dict), and the job swaps the kb directory
+        # BEFORE the results write, so any plan still lazily referencing the
+        # old parquet files would hit FILE_NOT_EXIST mid-job
+        kb_files = spark.read.parquet(kb_dir)
+        return spark.createDataFrame(kb_files.collect(), kb_files.schema)
     return kb_df(spark, [])
 
 
@@ -439,7 +445,8 @@ def run_field_extraction_job(
     # Arrow tokenize kernel; at larger scale swap for DISK_ONLY or a
     # spans-table checkpoint
     tokenized = tokenize_stage(with_content_hash(docs)).persist()
-    results, kb_out = extract_planned(tokenized, kb, replay or {})
+    caches: list = [tokenized]
+    results, kb_out = extract_planned(tokenized, kb, replay or {}, caches=caches)
     hashes = tokenized.select("doc_id", "content_hash")
     out = (
         results.join(hashes, "doc_id")
@@ -449,17 +456,24 @@ def run_field_extraction_job(
         )
         .withColumn("partition_id", F.spark_partition_id())
     )
+    # KB state is written BEFORE the results run dir: reconcile_checkpoint
+    # ADOPTS any _SUCCESS-complete run dir into lineage (the docs never
+    # re-run), so a results-first ordering that crashed between the two
+    # writes would commit the docs while dropping the bootstrap-learned and
+    # repair-replaced rules forever. KB-first is safe on every window: a
+    # crash after the swap but before the results write re-runs the batch
+    # against the already-updated KB (idempotent — the repaired rules
+    # re-derive to themselves).
+    _swap_kb_state(spark, output_dir, kb_out)
     out.write.mode("overwrite").parquet(
         spans_run_path(output_dir, run_id, table="results")
     )
-    # KB state is written BEFORE the lineage commit: if we crash in
-    # between, the resume re-runs the batch with the already-updated KB
-    # (idempotent — the repaired rules re-derive to themselves); the
-    # opposite order would commit the docs while dropping the rules their
-    # repair learned
-    _swap_kb_state(spark, output_dir, kb_out)
     n_docs = write_checkpoint(spark, output_dir, run_id, table="results")
-    tokenized.unpersist()
+    # results + KB + lineage are durable — release every frame the planner
+    # pinned (tokenized plus the repair/bootstrap stage caches), so repeated
+    # jobs in a long-lived session don't accrete storage memory
+    for cached in caches:
+        cached.unpersist()
     committed_results = spark.read.parquet(
         spans_run_path(output_dir, run_id, table="results")
     )

@@ -74,7 +74,8 @@ def run_stream_extraction(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # reconcile first: a foreachBatch retry that died between the spans
         # commit and the lineage commit must adopt the durable run, not
-        # re-extract it (the at-least-once crash window)
+        # re-extract it; one that died DURING the lineage append heals by
+        # appending only the missing rows (the at-least-once crash windows)
         reconcile_checkpoint(spark, output_dir)
         ckpt = read_checkpoint(spark, output_dir)
         batch_run = f"{run_id}_b{batch_id}"
@@ -82,6 +83,18 @@ def run_stream_extraction(
             done = ckpt.where(F.col("status") == "committed").select("doc_id")
             if batch_df.join(done, "doc_id", "left_anti").isEmpty():
                 return  # fully committed batch — never touch its run dir
+        # A durable run dir from a prior attempt of THIS batch must never be
+        # rewritten: mode('overwrite') over a partially-committed batch would
+        # delete spans its lineage already marks committed (permanent loss).
+        # _SUCCESS means the prior attempt's write job committed in full, so
+        # the only thing possibly missing is lineage — derive it from the
+        # directory (write_checkpoint anti-joins the already-committed rows)
+        # instead of re-extracting.
+        if os.path.exists(
+            os.path.join(spans_run_path(output_dir, batch_run), "_SUCCESS")
+        ):
+            write_checkpoint(spark, output_dir, batch_run)
+            return
         # spans-only sink → kernel-level projection pushdown, same as the
         # batch path (geometry/full_text never cross Arrow)
         result = extract_spans(

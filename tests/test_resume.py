@@ -79,6 +79,67 @@ def test_crash_between_spans_and_checkpoint_reconciles(spark, tmp_path):
     assert ckpt.where(F.col("status") == "committed").count() == 40
     # lineage partition ids are the writing tasks', not a reader artifact
     assert ckpt.where(F.col("partition_id") >= 0).count() == 40
+    # byte_count carries the real serialized span payload size per doc
+    # (the size-aware-scheduling input), not a placeholder zero
+    assert ckpt.where(F.col("byte_count") > 0).count() == 40
+
+
+def test_torn_lineage_append_healed(spark, tmp_path):
+    """Crash DURING the lineage parquet append (multi-file, non-atomic):
+    some rows of the run committed, the rest not. The resume must append
+    exactly the missing lineage rows from the durable run directory — not
+    skip the run (leaving docs to be re-extracted and duplicated under a
+    new run_id) and not double-append the committed rows."""
+    import shutil
+
+    from pdf_extractor_spark.checkpoint import checkpoint_path, read_checkpoint
+
+    docs_path = str(tmp_path / "docs")
+    generate_corpus(spark, 40, partitions=4).write.parquet(docs_path)
+    out_dir = str(tmp_path / "out")
+    run_extraction_job(spark, docs_path, out_dir, run_id="r1", partitions=4)
+
+    # simulate the torn append: keep only 25 of r1's 40 lineage rows
+    ckpt_dir = checkpoint_path(out_dir)
+    kept = (
+        read_checkpoint(spark, out_dir)
+        .where(F.col("doc_id") < "doc_000000025")
+        .toPandas()
+    )
+    assert len(kept) == 25
+    shutil.rmtree(ckpt_dir)
+    from pdf_extractor_spark.schema import CHECKPOINT_SCHEMA
+
+    spark.createDataFrame(kept, CHECKPOINT_SCHEMA).write.parquet(ckpt_dir)
+
+    s2 = run_extraction_job(spark, docs_path, out_dir, run_id="r2", partitions=4)
+    assert s2["docs"] == 0  # healed + adopted, nothing re-extracted
+    assert not os.path.isdir(os.path.join(out_dir, "spans", "run_id=r2"))
+    ckpt = read_checkpoint(spark, out_dir)
+    assert ckpt.count() == 40  # 25 kept + exactly the 15 missing
+    assert ckpt.select("doc_id").distinct().count() == 40
+    assert ckpt.select("run_id").distinct().collect()[0]["run_id"] == "r1"
+    spans = spark.read.parquet(os.path.join(out_dir, "spans"))
+    assert spans.count() == 40
+    assert spans.select("doc_id").distinct().count() == 40
+
+
+def test_write_checkpoint_idempotent(spark, tmp_path):
+    """A retried lineage commit for an already-committed run appends
+    nothing (the at-least-once window of foreachBatch retries)."""
+    from pdf_extractor_spark.checkpoint import read_checkpoint, write_checkpoint
+
+    docs_path = str(tmp_path / "docs")
+    generate_corpus(spark, 20, partitions=2).write.parquet(docs_path)
+    out_dir = str(tmp_path / "out")
+    run_extraction_job(spark, docs_path, out_dir, run_id="r1", partitions=2)
+    assert read_checkpoint(spark, out_dir).count() == 20
+
+    n = write_checkpoint(spark, out_dir, "r1")  # retry of the commit
+    assert n == 20
+    ckpt = read_checkpoint(spark, out_dir)
+    assert ckpt.count() == 20  # no duplicate rows
+    assert ckpt.select("doc_id").distinct().count() == 20
 
 
 def test_partial_spans_write_cleaned_and_redone(spark, tmp_path):
