@@ -237,18 +237,31 @@ def dedup_clusters(spark, sf_dir):
 def _connected_components(pairs, a_col: str, b_col: str):
     """Min-label propagation over an undirected pair graph → (id, label)
     with label = the component's min node id. One join + grouped min per
-    round; the strictly-decreasing label sum is the convergence scalar."""
-    edges = pairs.select(
-        F.col(a_col).alias("s"), F.col(b_col).alias("d")
-    ).unionByName(
-        pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d"))
+    round; the strictly-decreasing label sum is the convergence scalar.
+
+    ``edges`` is persisted for the life of the loop: every round joins it,
+    and without the cache each round (plus the convergence scalar) would
+    re-execute the entire pair-generation subtree — the LSH band self-join
+    for dedup_clusters, the candidate cosine join for embedding clusters —
+    multiplying the most expensive part of the query by O(diameter) rounds.
+    The loop runs to the sum fixpoint (labels only decrease, so an
+    unchanged sum ⇔ no label moved ⇔ converged — a capped round count
+    would silently return non-min labels on a chain whose diameter exceeds
+    the cap); at 10^9 nodes the same dataflow with pointer-jumping
+    (large-star/small-star) bounds rounds at O(log n)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d"))
+        )
+        .persist()
     )
     labels = edges.select(F.col("s").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
     prev_sum = None
     prev_df = None
-    for _ in range(20):  # component diameter bound; dup clusters need 2-3
+    while True:
         neigh = (
             edges.join(labels.withColumnRenamed("id", "s"), "s")
             .groupBy(F.col("d").alias("id"))
@@ -271,6 +284,10 @@ def _connected_components(pairs, a_col: str, b_col: str):
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # the final labels are materialized in cache (the consumer reads them
+    # without touching the edge lineage again) — the edge relation and its
+    # pair-generation subtree can be released now
+    edges.unpersist()
     return labels
 
 
@@ -389,7 +406,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .where(F.col("df") > threshold)
         .select("gram")
     )
-    grams = grams0.join(F.broadcast(hot), "gram", "left_anti").persist()
+    # not persisted: the self-join's two sides are identical subplans whose
+    # gram-keyed exchange Spark reuses (ReusedExchange); only the doc_id-keyed
+    # `sizes` agg re-runs the narrow gram subtree once more. A persist here
+    # would pin the widest relation of the query for the session (the
+    # round-2 leak) to save one narrow re-scan — the wrong trade at scale.
+    grams = grams0.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -669,18 +691,31 @@ def sim_ann_lsh_topk(spark, sf_dir):
 # Text analysis
 # ---------------------------------------------------------------------------
 
-_EN_STOP = "(the|of|and|to|in|a|is|that|it|for|was|on|are|as|with)"
-_PT_STOP = "(de|a|o|que|e|do|da|em|um|para|com|não|uma|os|no)"
-_ES_STOP = "(de|la|que|el|en|y|a|los|del|se|las|por|un|esta|con|una)"
-_FR_STOP = "(le|la|de|et|les|des|est|un|une|du|que|pas|pour|dans|ce|il)"
-_DE_STOP = "(der|die|und|in|den|von|zu|das|mit|sich|des|auf|ist|im|nicht|ein)"
+_STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "a", "is", "that", "it", "for",
+           "was", "on", "are", "as", "with"],
+    "pt": ["de", "a", "o", "que", "e", "do", "da", "em", "um", "para",
+           "com", "não", "uma", "os", "no"],
+    "es": ["de", "la", "que", "el", "en", "y", "a", "los", "del", "se",
+           "las", "por", "un", "esta", "con", "una"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "du",
+           "que", "pas", "pour", "dans", "ce", "il"],
+    "de": ["der", "die", "und", "in", "den", "von", "zu", "das", "mit",
+           "sich", "des", "auf", "ist", "im", "nicht", "ein"],
+}
 
 # detection banks in tie-break priority order (both engines use the same
 # ladder, so ties resolve identically)
-_LANG_BANKS = [
-    ("en", _EN_STOP), ("pt", _PT_STOP), ("es", _ES_STOP),
-    ("fr", _FR_STOP), ("de", _DE_STOP),
-]
+_LANG_ORDER = ["en", "pt", "es", "fr", "de"]
+
+# regex form of the English bank — text_quality's stopword_ratio contract
+_EN_STOP = "(" + "|".join(_STOPWORDS["en"]) + ")"
+
+# langid tokenization: one split on the non-word-char class (accented Latin
+# letters count as word chars so 'não' survives whole) — ONE regex pass over
+# the text, vs the round-2 formulation's five full-text regexp_extract_all
+# scans (one per bank), which made langid the only bench regression
+_TOKEN_SPLIT = "[^a-z0-9_à-ÿ]+"
 
 
 @register(
@@ -764,47 +799,61 @@ def text_quality_filter(spark, sf_dir):
 def _langid_case_sql() -> str:
     """Argmax ladder over the language banks: lang i wins if its count is
     >= every later bank's count (ties break toward the earlier bank —
-    identical chain on both engines)."""
+    identical chain on both engines). Counts are token-set memberships over
+    the ONE shared token array."""
     counts = {
-        lang: f"len(regexp_extract_all(lower(text), '\\b{bank}\\b'))"
-        for lang, bank in _LANG_BANKS
+        lang: "len(list_filter(w, x -> x IN ({})))".format(
+            ", ".join(f"'{word}'" for word in _STOPWORDS[lang])
+        )
+        for lang in _LANG_ORDER
     }
     clauses = []
-    langs = [lang for lang, _ in _LANG_BANKS]
-    for i, lang in enumerate(langs[:-1]):
+    for i, lang in enumerate(_LANG_ORDER[:-1]):
         conds = " AND ".join(
-            f"{counts[lang]} >= {counts[later]}" for later in langs[i + 1 :]
+            f"{counts[lang]} >= {counts[later]}"
+            for later in _LANG_ORDER[i + 1 :]
         )
         clauses.append(f"WHEN {conds} THEN '{lang}'")
-    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+    return "CASE " + " ".join(clauses) + f" ELSE '{_LANG_ORDER[-1]}' END"
 
 
 @register(
     "text_langid",
-    f"""SELECT doc_id, lang, {_langid_case_sql()} AS pred_lang
-        FROM documents""",
+    f"""WITH toks AS (
+          SELECT doc_id, lang,
+                 string_split_regex(lower(text), '{_TOKEN_SPLIT}') AS w
+          FROM documents
+        )
+        SELECT doc_id, lang, {_langid_case_sql()} AS pred_lang FROM toks""",
 )
 def text_langid(spark, sf_dir):
     """Language ID: stopword-hit argmax over five language banks
     (en/pt/es/fr/de), same deterministic tie-break ladder as the oracle.
-    All counting is regexp_extract_all — fully codegen, one pass."""
+
+    ONE tokenize pass: the text is split once on the non-word-char class
+    and each bank's count is a set-membership filter over the shared token
+    array (hash-set IN over ≤16 literals, all codegen) — the round-2
+    version ran five separate full-text regex scans, regressing the bench
+    0.36 → 0.66 s; this restores the single-scan shape."""
     d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.split(F.lower("text"), _TOKEN_SPLIT).alias("w")
+    )
     counts = {
         lang: F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit(rf"\b{bank}\b"), 0)
+            F.filter(F.col("w"), lambda x: x.isin(*_STOPWORDS[lang]))
         )
-        for lang, bank in _LANG_BANKS
+        for lang in _LANG_ORDER
     }
-    langs = [lang for lang, _ in _LANG_BANKS]
-    pred = F.lit(langs[-1])
-    for i in range(len(langs) - 2, -1, -1):
-        lang = langs[i]
+    pred = F.lit(_LANG_ORDER[-1])
+    for i in range(len(_LANG_ORDER) - 2, -1, -1):
+        lang = _LANG_ORDER[i]
         cond = None
-        for later in langs[i + 1 :]:
+        for later in _LANG_ORDER[i + 1 :]:
             c = counts[lang] >= counts[later]
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, lang).otherwise(pred)
-    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+    return toks.select("doc_id", "lang", pred.alias("pred_lang"))
 
 
 @register(
@@ -898,34 +947,85 @@ def text_winnowing(spark, sf_dir):
     w-window, dedup the kept hashes. Guarantees any shared substring of
     length ≥ k+w−1 shares a fingerprint — the standard position-robust
     near-dup signature (survives insertions that break fixed shingles).
-    One scan → explode → window min → grouped agg; the shuffle carries
-    (doc, selected-hash) pairs only (~1/w of the gram count). Checksum is
-    per-term-modulo int64 on both engines (see text_fingerprint)."""
+
+    Winnowing is per-doc-local, so the whole computation stays NARROW —
+    one row in, one row out, ZERO exchanges. The round-2 formulation
+    exploded one row per character position and forced the per-doc window
+    min through a shuffle of O(total corpus characters) rows (a
+    corpus-sized exchange for a computation that needs none; slowest bench
+    query at 4.2 s). Two narrow pure-Column rewrites were measured and
+    rejected before landing on the Arrow kernel: per-position
+    ``substring(t,i,k)`` is an O(position) byte scan on UTF8 strings
+    (O(n²)/doc → 163 s at sf0.01), and the chars-array + slice/array_join
+    variant still pays interpreted higher-order-function dispatch per
+    position (HOFs fall out of whole-stage codegen; >400 s). The kernel
+    does the same work in numpy + hashlib inside ``mapInPandas`` — same
+    pattern (and rationale) as the tokenizer kernel. The oracle states the
+    identical semantics relationally (explode → window min → distinct →
+    agg); lowering happens JVM-side so Python string case rules never
+    touch the contract. Checksum is sum % 2^31−1 in int64 — h < 2^32 and
+    selected-gram counts are document-bounded, so the sum cannot wrap on
+    either engine."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     d = t(spark, sf_dir, "documents")
-    txt = F.lower(F.coalesce(F.col("text"), F.lit("")))
-    n_grams = F.greatest(F.length(txt) - WINNOW_K + 1, F.lit(0))
-    idx = F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)).otherwise(
-        F.array().cast("array<int>")
+    proj = d.select(
+        "doc_id", F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("t")
     )
-    grams = d.select(
-        "doc_id", txt.alias("t"), F.explode(idx).alias("i")
-    ).select(
-        "doc_id", "i", _h32(F.expr(f"substring(t, i, {WINNOW_K})")).alias("h")
+    schema = StructType(
+        [
+            StructField("doc_id", proj.schema["doc_id"].dataType),
+            StructField("n_fps", LongType()),
+            StructField("fp_checksum", LongType()),
+        ]
     )
-    wspec = (
-        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)
-    )
-    sel = (
-        grams.withColumn("wmin", F.min("h").over(wspec))
-        .where(F.col("h") == F.col("wmin"))
-        .select("doc_id", "h")
-        .distinct()
-    )
-    m = F.lit(2147483647)
-    return sel.groupBy("doc_id").agg(
-        F.count("*").alias("n_fps"),
-        (F.sum("h") % m).alias("fp_checksum"),
-    )
+    k, w, m = WINNOW_K, WINNOW_W, 2147483647
+
+    def winnow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, n_fps, checksums = [], [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["t"]):
+                n = len(txt) - k + 1
+                if n <= 0:
+                    continue  # shorter than one gram → no oracle rows either
+                hs = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(txt[i : i + k].encode("utf-8"))
+                            .hexdigest()[:8],
+                            16,
+                        )
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                # min over [i, min(i+w, n)) — full windows via the stride
+                # view, clipped tail windows via the suffix-min
+                suffix_min = np.minimum.accumulate(hs[::-1])[::-1]
+                if n >= w:
+                    mins = np.concatenate(
+                        [
+                            sliding_window_view(hs, w).min(axis=1),
+                            suffix_min[n - w + 1 :],
+                        ]
+                    )
+                else:
+                    mins = suffix_min
+                sel = np.unique(hs[hs == mins])
+                ids.append(doc_id)
+                n_fps.append(len(sel))
+                checksums.append(int(sel.sum()) % m)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_fps": n_fps, "fp_checksum": checksums}
+            )
+
+    return proj.mapInPandas(winnow, schema)
 
 
 # ---------------------------------------------------------------------------
