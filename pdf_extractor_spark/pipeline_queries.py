@@ -561,6 +561,115 @@ EMB_DUP_COS = 0.4  # cosine threshold for embedding near-duplicates
 # (the synthetic embeddings are near-random — 0.4 is already the far
 # tail there; real sentence embeddings would use ~0.9)
 
+# Pair-generation cost-model guard: below this corpus size the exact
+# all-pairs join is CHEAPER than any full-recall LSH bucketing. Measured on
+# the synthetic corpora (near-uniform vectors, threshold 0.4 — the
+# worst case for LSH): the smallest (tables, bits) with 100% edge recall at
+# sf0.1 is (24, 3), whose bucket self-joins generate 6.1M raw candidate
+# pairs vs 2.0M for all-pairs — LSH does 3× MORE work when the threshold
+# sits in the similarity distribution's bulk. The bucketed path wins
+# exactly when the threshold is selective (clustered embeddings, cos≥0.9 —
+# the real semantic-dedup regime, pinned by the recall test in
+# tests/test_similarity.py), so the operator switches on corpus size and
+# leaves the per-regime LSH parameters callable.
+EMB_ALLPAIRS_MAX = 20_000
+EMB_LSH_TABLES = 24
+EMB_LSH_BITS = 3
+
+
+def _emb_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _emb_norm(c):
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _hyperplane(tbl: int, p: int, dim: int):
+    """Deterministic md5-seeded random hyperplane (shared with
+    sim_ann_lsh_topk — same construction, parameterized)."""
+    comps = [
+        (F.conv(F.substring(F.md5(F.lit(f"{tbl}_{p}_{i}")), 1, 8), 16, 10)
+         .cast("double") / F.lit(2**31) - 1.0)
+        for i in range(dim)
+    ]
+    return F.array(*comps)
+
+
+def _lsh_code(tbl: int, bits: int, dim: int, emb_col: str = "embedding"):
+    """Sign-bit code of ``emb_col`` against ``bits`` hyperplanes."""
+    c = None
+    for p in range(bits):
+        dot = _emb_dot(F.col(emb_col), _hyperplane(tbl, p, dim))
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        c = bit if c is None else (c + bit)
+    return c
+
+
+def _emb_pairs_allpairs(e, threshold: float):
+    """Exact all-pairs cosine edges (va < vb). Correct at any threshold;
+    O(n²) — gated by EMB_ALLPAIRS_MAX in the registered operator."""
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("va") < F.col("vb"))
+        .withColumn(
+            "_cos",
+            _emb_dot(F.col("ea"), F.col("eb"))
+            / (_emb_norm(F.col("ea")) * _emb_norm(F.col("eb"))),
+        )
+        .where(F.col("_cos") > threshold)
+        .select("va", "vb")
+    )
+
+
+def _emb_pairs_lsh(e, threshold: float, tables: int, bits: int):
+    """LSH-bucketed cosine edges: multi-table random-hyperplane codes →
+    per-table bucket self-join → distinct candidates → exact cosine
+    re-check. Never a cartesian join: candidates come from equi-joins on
+    (table, bucket), so at 10^9 vectors the cost is Σ bucket² per table,
+    not n². Recall is 1−(1−p^bits)^tables with p = 1−θ/π; the parameters
+    are the selectivity dial (tests pin full recall for the clustered
+    cos≥0.9 regime and for the synthetic corpora at the registered
+    parameters)."""
+    dim_row = e.limit(1).select(F.size("embedding").alias("d")).collect()
+    dim = dim_row[0]["d"] if dim_row else 0
+    coded = e.select(
+        "vec_id",
+        *[_lsh_code(tbl, bits, dim).alias(f"b{tbl}") for tbl in range(tables)],
+    )
+    buckets = coded.selectExpr(
+        "vec_id",
+        "stack(%d, %s) as (tbl, bucket)"
+        % (tables, ", ".join(f"{tbl}, b{tbl}" for tbl in range(tables))),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()  # union across tables
+    )
+    ea = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "va")
+        .join(eb, "vb")
+        .withColumn(
+            "_cos",
+            _emb_dot(F.col("ea"), F.col("eb"))
+            / (_emb_norm(F.col("ea")) * _emb_norm(F.col("eb"))),
+        )
+        .where(F.col("_cos") > threshold)
+        .select("va", "vb")
+    )
+
 
 @register(
     "dedup_embedding_clusters",
@@ -583,26 +692,23 @@ def dedup_embedding_clusters(spark, sf_dir):
     """Embedding-cosine near-dup clusters: vectors whose cosine exceeds the
     threshold form an edge; connected components assign every near-dup to
     its component's min vec_id (keep-one-representative for semantic
-    dedup). Pair generation here is the exact all-pairs baseline (JVM
-    zip_with/aggregate math, correct at oracle scale); at 10^9 vectors the
-    candidate pairs come from the LSH/IVF bucketing of sim_ann_* instead —
-    the component stage is identical either way."""
+    dedup).
+
+    Pair generation switches on corpus size (one count scalar to the
+    driver — the same dimension-probe class as the LSH dim lookup): below
+    EMB_ALLPAIRS_MAX the exact all-pairs join runs (measured CHEAPER than
+    any full-recall LSH parameterization at this threshold — see the guard
+    constant's derivation); above it, the LSH bucket path generates
+    candidates from (table, bucket) equi-joins — never a cartesian — and
+    re-checks them exactly. tests/test_similarity.py pins that the LSH
+    path reproduces the all-pairs clusters both on this corpus and in the
+    clustered cos≥0.9 regime where LSH is actually sub-quadratic. The
+    oracle states the all-pairs fixpoint, which both paths must equal."""
     e = t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    pairs = (
-        a.join(b, F.col("va") < F.col("vb"))
-        .withColumn("_cos", dot / (norm(F.col("ea")) * norm(F.col("eb"))))
-        .where(F.col("_cos") > EMB_DUP_COS)
-        .select("va", "vb")
-    )
+    if e.count() <= EMB_ALLPAIRS_MAX:
+        pairs = _emb_pairs_allpairs(e, EMB_DUP_COS)
+    else:
+        pairs = _emb_pairs_lsh(e, EMB_DUP_COS, EMB_LSH_TABLES, EMB_LSH_BITS)
     return _connected_components(pairs, "va", "vb").select(
         F.col("id").alias("vec_id"), F.col("label").alias("cluster_rep")
     )
@@ -628,28 +734,12 @@ def sim_ann_lsh_topk(spark, sf_dir):
     dim_df = e.limit(1).select(F.size("embedding").alias("d")).collect()
     dim = dim_df[0]["d"] if dim_df else 0
 
-    def plane(tbl: int, p: int):
-        comps = [
-            (F.conv(F.substring(F.md5(F.lit(f"{tbl}_{p}_{i}")), 1, 8), 16, 10)
-             .cast("double") / F.lit(2**31) - 1.0)
-            for i in range(dim)
-        ]
-        return F.array(*comps)
-
-    def code(tbl: int):
-        c = None
-        for p in range(LSH_BITS):
-            dot = F.aggregate(
-                F.zip_with(F.col("embedding"), plane(tbl, p), lambda a, b: a * b),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-            c = bit if c is None else (c + bit)
-        return c
-
     coded = e.select(
         "vec_id", "embedding",
-        *[code(tbl).alias(f"b{tbl}") for tbl in range(LSH_TABLES)],
+        *[
+            _lsh_code(tbl, LSH_BITS, dim).alias(f"b{tbl}")
+            for tbl in range(LSH_TABLES)
+        ],
     )
     # melt to (vec_id, table, bucket) → bucket join per table, union by shape
     buckets = coded.selectExpr(
@@ -1203,12 +1293,37 @@ def sim_ann_ivf_topk(spark, sf_dir):
     )
 
 
-@register_rows_only("mm_frame_sample")
+@register(
+    "mm_frame_sample",
+    """WITH d AS (
+         SELECT doc_id::VARCHAR AS doc_id,
+                lower(hex(encode(coalesce(text, '')))) AS hx,
+                octet_length(encode(coalesce(text, ''))) AS n
+         FROM documents
+       ), f AS (
+         SELECT doc_id, hx, n, n % 7 + 1 AS n_frames FROM d
+       ), frames AS (
+         SELECT doc_id, hx, n, n_frames, unnest(range(0, n_frames, 2)) AS i
+         FROM f
+       ), sliced AS (
+         SELECT doc_id, i::INT AS frame_no,
+                coalesce(list_aggregate(
+                  [substr(hx, (2*p + 1)::BIGINT, 2)
+                   for p in range(i, n, greatest(n_frames, 1))],
+                  'string_agg', ''), '') AS shex
+       FROM frames
+       )
+       SELECT doc_id, frame_no, substr(sha256(shex), 1, 16) AS frame_hash
+       FROM sliced""",
+)
 def mm_frame_sample(spark, sf_dir):
     """Multimodal UDTF shape: 1 binary blob → N frame rows via mapInPandas
     (deterministic fake frame stride — real codecs are gated, see
-    multimodal.py). Byte-striding has no single-statement SQL equivalent ⇒
-    rows-only check; pytest asserts the fan-out arithmetic."""
+    multimodal.py). Promoted from rows-only to a full oracle row: the
+    byte-stride slice IS SQL-expressible by working over the blob's hex
+    string (one 2-hex-char substr per strided byte, re-concatenated), and
+    the fake frame hash digests that lowercase hex — identical on both
+    engines for arbitrary (even invalid-UTF-8) byte slices."""
     from pdf_extractor_spark.multimodal import sample_frames
 
     d = t(spark, sf_dir, "documents").select(

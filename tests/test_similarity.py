@@ -38,6 +38,69 @@ def test_bruteforce_topk_properties(spark):
         assert all(r["neighbor_id"] != qid for r in rs)
 
 
+def _clusters(pairs_df):
+    from pdf_extractor_spark.pipeline_queries import _connected_components
+
+    return {
+        (r["id"], r["label"])
+        for r in _connected_components(pairs_df, "va", "vb").collect()
+    }
+
+
+def test_lsh_pairs_reproduce_allpairs_clusters_on_corpus(spark):
+    """The dedup_embedding_clusters scale path: LSH-bucketed candidate
+    pairs must yield the SAME connected components as the exact all-pairs
+    join on the test corpus at the registered (tables, bits). This is the
+    empirical full-recall pin for the guard constants — see the
+    EMB_ALLPAIRS_MAX derivation."""
+    from pdf_extractor_spark.pipeline_queries import (
+        EMB_DUP_COS, EMB_LSH_BITS, EMB_LSH_TABLES,
+        _emb_pairs_allpairs, _emb_pairs_lsh,
+    )
+    from pdf_extractor_spark.queries import t
+
+    e = t(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = _clusters(_emb_pairs_allpairs(e, EMB_DUP_COS))
+    lsh = _clusters(_emb_pairs_lsh(e, EMB_DUP_COS, EMB_LSH_TABLES, EMB_LSH_BITS))
+    assert lsh == exact
+
+
+def test_lsh_pairs_subquadratic_in_clustered_regime(spark):
+    """Where LSH actually earns its keep — clustered embeddings with a
+    selective threshold (cos ≥ 0.9, real semantic-dedup regime): the
+    bucketed candidates must reproduce the all-pairs clusters while
+    generating a small fraction of the n²/2 candidate volume."""
+    import numpy as np
+
+    from pdf_extractor_spark.pipeline_queries import (
+        _emb_pairs_allpairs, _emb_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, members = 16, 40, 4
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        base = rng.normal(size=dim)
+        base /= np.linalg.norm(base)
+        for _ in range(members):
+            v = base + rng.normal(scale=0.03, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact_pairs = _emb_pairs_allpairs(e, 0.9)
+    lsh_pairs = _emb_pairs_lsh(e, 0.9, tables=8, bits=6)
+    assert _clusters(lsh_pairs) == _clusters(exact_pairs)
+
+    # selectivity: candidate volume (pre-cosine-check, distinct) ≪ n²/2
+    from pdf_extractor_spark.pipeline_queries import _lsh_code
+    coded = e.selectExpr("vec_id").count()
+    n_all = coded * (coded - 1) // 2
+    n_cand = _emb_pairs_lsh(e, -1.0, tables=8, bits=6).count()  # keep all
+    assert n_cand < 0.2 * n_all, f"{n_cand} candidates vs {n_all} all-pairs"
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     exact = q.all_queries()["sim_topk_bruteforce"](spark, SF).collect()
     approx = q.all_queries()["sim_ann_ivf_topk"](spark, SF).collect()
