@@ -23,15 +23,28 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pdf_extractor_spark.queries import register, register_rows_only
+from pdf_extractor_spark.extraction_golden import S1_GOLDEN
+from pdf_extractor_spark.queries import register
+
+_S1_VALUES = ",\n          ".join(
+    f"('{d}', {c}, '{h}')" for d, c, h in S1_GOLDEN
+)
 
 
-@register_rows_only("s1_extract_spans")
+@register(
+    "s1_extract_spans",
+    f"""SELECT doc_id, span_count, span_seq_hash
+        FROM (VALUES {_S1_VALUES})
+          t(doc_id, span_count, span_seq_hash)
+        ORDER BY doc_id""",
+)
 def s1_extract_spans(spark, sf_dir):
     """S1 flagship: deterministic interleaved PDF+HTML corpus → fused Arrow
     tokenize/assemble kernel (narrow, zero-shuffle) → one row per doc with
     the span-sequence hash over the public contract (kind, text, media_ref,
-    offset). Deterministic: same corpus seed ⇒ same 200 hashes."""
+    offset). Deterministic: same corpus seed ⇒ same 200 hashes — frozen as
+    an inline-VALUES oracle (extraction_golden.py), which puts the kernel
+    under the driver's full row/schema/hash gate."""
     from pdf_extractor_spark.corpus import generate_corpus
     from pdf_extractor_spark.pipeline import extract_spans
 
@@ -76,12 +89,22 @@ def _repair_fixture(spark):
     return docs, kb
 
 
-@register_rows_only("o2_repair_loop")
+@register(
+    "o2_repair_loop",
+    """SELECT stage, doc_id, registro, llm_used
+       FROM (VALUES
+         ('repair', 'card_0', '88421', TRUE),
+         ('transfer', 'card_1', '88421', FALSE))
+         t(stage, doc_id, registro, llm_used)
+       ORDER BY stage, doc_id""",
+)
 def o2_repair_loop(spark, sf_dir):
     """O2: card_0 fails under the broken rule → replayed fallback
     adjudicates '88421' → rule re-derived from the value (U7) and upserted →
     card_1 extracts heuristically under the repaired KB. Emits one row per
-    (stage, doc) with the extracted value — all deterministic."""
+    (stage, doc) with the extracted value — deterministic end to end, so
+    the expected rows are frozen as an inline-VALUES oracle (full driver
+    hash gate instead of rows-only)."""
     from pdf_extractor_spark.extract.llm import replay_response
     from pdf_extractor_spark.extract.repair import extract_with_repair
     from pdf_extractor_spark.extract.udf import extract_fields

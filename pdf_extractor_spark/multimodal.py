@@ -98,20 +98,27 @@ FRAME_SCHEMA = StructType(
 def sample_frames(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id",
                   every: int = 2) -> DataFrame:
     """1 blob → N frame rows (UDTF shape): deterministic fake frame sampling;
-    a real video path would decode at `every`-frame stride."""
+    a real video path would decode at `every`-frame stride.
+
+    The fake frame hash digests the LOWERCASE HEX of the strided bytes
+    (not the raw bytes): hex is always valid ASCII, so the SQL oracle can
+    state the identical computation on an engine whose sha256 only accepts
+    strings (raw stride-split bytes can be invalid UTF-8)."""
     import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, nos, hashes = [], [], []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                blob = blob or b""
+                blob = bytes(blob) if blob is not None else b""
                 n_frames = len(blob) % 7 + 1
                 for i in range(0, n_frames, every):
+                    frame = blob[i :: max(n_frames, 1)]
                     ids.append(str(doc_id))
                     nos.append(i)
                     hashes.append(
-                        hashlib.sha256(blob[i::max(n_frames, 1)]).hexdigest()[:16]
+                        hashlib.sha256(frame.hex().encode("ascii"))
+                        .hexdigest()[:16]
                     )
             yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame_hash": hashes})
 
