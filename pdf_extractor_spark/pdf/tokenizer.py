@@ -10,7 +10,8 @@ imaging model the corpus needs).
 Supported (validated against all six reference fixtures plus synthetic
 corpora): Flate/LZW/ASCIIHex streams incl. TIFF+PNG ``/Predictor``
 post-filters, literal strings with octal/char escapes, hex strings with a
-multi-byte-CID guard (UTF-16BE BOM honored; glyph-index runs suppressed
+multi-byte-CID guard (UTF-16BE BOM honored; /ToUnicode bfchar/bfrange
+CMaps decode 2-byte CID runs, unmapped glyph-index runs are suppressed
 rather than mojibake'd), WinAnsi/Latin-1 text, ``BT/ET``, ``Tf``,
 ``Tm/Td/TD/T*/TL``, ``Tc/Tw/Tz`` spacing in width estimates, ``Tj/TJ/'/"``,
 graphics-state stack ``q/Q/cm``, ``/Name Do`` for image XObjects, page
@@ -376,16 +377,19 @@ def _bytes_to_text(b: bytes, enc_map: Optional[Dict[int, str]] = None) -> str:
         return b.decode("latin-1")
 
 
-def _decode_pdf_string(raw: bytes, enc_map: Optional[Dict[int, str]] = None) -> str:
+def _decode_pdf_string(raw: bytes, enc_map=None) -> str:
     """Decode a literal PDF string body (inside parens): escapes +
-    /Differences-aware byte decoding. Text strings may be UTF-16BE with a
-    BOM in literal form too (PDF 32000-1 §7.9.2.2), not only hex."""
+    /Differences- or CMap-aware byte decoding. Text strings may be UTF-16BE
+    with a BOM in literal form too (PDF 32000-1 §7.9.2.2), not only hex;
+    Type0 fonts may put their 2-byte codes in literal strings as well."""
     b = _unescape_pdf_string(raw)
     if b[:2] == b"\xfe\xff":
         try:
             return b[2:].decode("utf-16-be")
         except UnicodeDecodeError:
             return ""
+    if isinstance(enc_map, CMapEncoding):
+        return enc_map.decode(b)
     return _bytes_to_text(b, enc_map)
 
 
@@ -477,19 +481,126 @@ def _parse_differences(enc_dict: bytes) -> Dict[int, str]:
     return out
 
 
+# --- /ToUnicode CMaps (Type0/CID fonts) -------------------------------------
+
+
+class CMapEncoding:
+    """Decoded /ToUnicode CMap: fixed-width character codes → text.
+
+    PDF 32000-1 §9.10.3: a CMap stream maps n-byte character codes (CIDs
+    for Identity-encoded Type0 subset fonts) to Unicode via ``bfchar``
+    pairs and ``bfrange`` runs. ``nbytes`` comes from the first
+    ``codespacerange`` (2 for virtually all Type0 fonts); unknown codes
+    decode to nothing (graceful-partial contract — strictly better than
+    the pre-CMap behavior, which suppressed the whole run)."""
+
+    __slots__ = ("map", "nbytes")
+
+    def __init__(self, mapping: Dict[int, str], nbytes: int):
+        self.map = mapping
+        self.nbytes = nbytes
+
+    def decode(self, raw: bytes) -> str:
+        n = self.nbytes
+        get = self.map.get
+        return "".join(
+            get(int.from_bytes(raw[i : i + n], "big"), "")
+            for i in range(0, len(raw) - n + 1, n)
+        )
+
+
+_CMAP_SECTION_RE = {
+    "bfchar": re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL),
+    "bfrange": re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL),
+    "codespace": re.compile(
+        rb"begincodespacerange(.*?)endcodespacerange", re.DOTALL
+    ),
+}
+_CMAP_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+
+
+def _utf16_hex_to_text(hexdigits: bytes) -> str:
+    try:
+        b = bytes.fromhex(hexdigits.decode("ascii"))
+        if len(b) % 2:
+            b += b"\x00"
+        return b.decode("utf-16-be", "ignore")
+    except (ValueError, UnicodeDecodeError):
+        return ""
+
+
+def parse_tounicode_cmap(decoded: bytes) -> Optional[CMapEncoding]:
+    """Parse a decoded /ToUnicode CMap stream → :class:`CMapEncoding`.
+
+    Handles ``bfchar`` (src/dst pairs), both ``bfrange`` forms
+    (<lo> <hi> <dstStart> with the dst integer incrementing, and
+    <lo> <hi> [<dst> <dst> …] with per-code dst strings), and takes the
+    code width from the first codespacerange (default 2)."""
+    nbytes = 2
+    m = _CMAP_SECTION_RE["codespace"].search(decoded)
+    if m:
+        first = _CMAP_TOK_RE.search(m.group(1))
+        if first and first.group(1):
+            nbytes = max(len(first.group(1)) // 2, 1)
+    mapping: Dict[int, str] = {}
+    for sec in _CMAP_SECTION_RE["bfchar"].finditer(decoded):
+        toks = [t.group(1) for t in _CMAP_TOK_RE.finditer(sec.group(1))]
+        for i in range(0, len(toks) - 1, 2):
+            src, dst = toks[i], toks[i + 1]
+            if src is None or dst is None:
+                continue
+            mapping[int(src, 16)] = _utf16_hex_to_text(dst)
+    for sec in _CMAP_SECTION_RE["bfrange"].finditer(decoded):
+        toks = list(_CMAP_TOK_RE.finditer(sec.group(1)))
+        i = 0
+        while i + 2 < len(toks):
+            lo_t, hi_t = toks[i], toks[i + 1]
+            if not (lo_t.group(1) and hi_t.group(1)):
+                break
+            lo, hi = int(lo_t.group(1), 16), int(hi_t.group(1), 16)
+            nxt = toks[i + 2]
+            if nxt.group(2):  # '[' — per-code dst array
+                j = i + 3
+                code = lo
+                while j < len(toks) and not toks[j].group(3):
+                    if toks[j].group(1) and code <= hi:
+                        mapping[code] = _utf16_hex_to_text(toks[j].group(1))
+                        code += 1
+                    j += 1
+                i = j + 1
+            elif nxt.group(1):  # <dstStart> — incrementing run
+                dst_hex = nxt.group(1)
+                width = len(dst_hex)
+                base = int(dst_hex, 16)
+                # cap run length defensively (spec bounds ranges to one
+                # 256-code block, but malformed files exist)
+                for off in range(min(hi - lo, 0xFFFF) + 1):
+                    mapping[lo + off] = _utf16_hex_to_text(
+                        b"%0*X" % (width, base + off)
+                    )
+                i += 3
+            else:
+                break
+    if not mapping:
+        return None
+    return CMapEncoding(mapping, nbytes)
+
+
 _CTRL = set(range(0x00, 0x20)) - {0x09, 0x0A, 0x0D}
 
 
-def _decode_hex_string(raw: bytes, enc_map: Optional[Dict[int, str]] = None) -> str:
+def _decode_hex_string(raw: bytes, enc_map=None) -> str:
     """Hex-string bytes → text, with a multi-byte-CID guard.
 
-    A /Differences map implies a simple (1-byte) font — bytes map through
-    it directly, no CID guard needed.
+    A /ToUnicode CMap (Type0/CID subset fonts) decodes n-byte codes
+    directly; a /Differences map implies a simple (1-byte) font — bytes
+    map through it, no CID guard needed.
 
     Single-byte simple-font codes decode as WinAnsi like literal strings.
-    Type0/CID fonts put 2-byte glyph indexes in hex strings — those are NOT
-    character codes and decoding them as cp1252 produces mojibake that
-    would poison the normalized-text index. Guards, in order:
+    Type0/CID fonts WITHOUT a ToUnicode CMap put 2-byte glyph indexes in
+    hex strings — those are NOT character codes and decoding them as
+    cp1252 produces mojibake that would poison the normalized-text index.
+    Guards, in order:
 
     * UTF-16BE BOM → decode as UTF-16BE (the one self-identifying case);
     * a high fraction of control bytes after cp1252 decode (CID indexes
@@ -498,6 +609,8 @@ def _decode_hex_string(raw: bytes, enc_map: Optional[Dict[int, str]] = None) -> 
       contract) rather than garbage."""
     if not raw:
         return ""
+    if isinstance(enc_map, CMapEncoding):
+        return enc_map.decode(raw)
     if enc_map:
         return _bytes_to_text(raw, enc_map)
     if raw[:2] == b"\xfe\xff":
@@ -562,7 +675,7 @@ def _strip_inline_images(content: bytes) -> bytes:
 def _run_content(
     content: bytes,
     image_xobjects: Dict[str, Tuple[float, float]],
-    font_encodings: Optional[Dict[str, Dict[int, str]]] = None,
+    font_encodings: Optional[Dict[str, Any]] = None,
     form_xobjects: Optional[Dict[str, bytes]] = None,
     depth: int = 0,
     base_ctm: Tuple[float, ...] = _IDENTITY,
@@ -578,7 +691,7 @@ def _run_content(
     content = _strip_inline_images(content)
     font_encodings = font_encodings or {}
     form_xobjects = form_xobjects or {}
-    cur_enc: Optional[Dict[int, str]] = None  # active font's /Differences
+    cur_enc = None  # active font's /Differences map or ToUnicode CMap
     spans: List[PdfSpan] = []
     ctm = base_ctm
     gs_stack: List[Tuple[float, ...]] = []
@@ -832,13 +945,23 @@ def _image_xobjects(page_dict: bytes, objects) -> Dict[str, Tuple[float, float]]
     return out
 
 
-def _font_encodings(page_dict: bytes, objects) -> Dict[str, Dict[int, str]]:
-    """Per-font /Differences maps from the page's /Font resources.
+def _font_encodings(page_dict: bytes, objects) -> Dict[str, Any]:
+    """Per-font decode maps from the page's /Font resources.
 
-    Handles both /Encoding << /Differences [...] >> inline in the font dict
-    and /Encoding N 0 R pointing at an encoding object. Fonts without
-    Differences (standard encodings) decode via the WinAnsi default."""
-    out: Dict[str, Dict[int, str]] = {}
+    Two kinds, keyed by font resource name:
+
+    * /Differences maps (simple 1-byte fonts) — handles both
+      /Encoding << /Differences [...] >> inline in the font dict and
+      /Encoding N 0 R pointing at an encoding object;
+    * /ToUnicode CMaps (Type0/CID subset fonts, §9.10.3) — the stream ref
+      is resolved and its bfchar/bfrange tables parsed into a
+      :class:`CMapEncoding`, so 2-byte CID runs decode to real text
+      instead of being suppressed by the hex-string guard.
+
+    Differences win when a font somehow carries both (a Differences map
+    implies simple-font byte codes). Fonts with neither decode via the
+    WinAnsi default."""
+    out: Dict[str, Any] = {}
     fraw = _dict_value(page_dict, b"Font")
     if fraw is None:
         return out
@@ -847,17 +970,33 @@ def _font_encodings(page_dict: bytes, objects) -> Dict[str, Dict[int, str]]:
         ref = int(m.group(2))
         if ref not in objects:
             continue
-        enc_raw = _dict_value(objects[ref][0], b"Encoding")
-        if enc_raw is None:
+        font_dict = objects[ref][0]
+        enc_raw = _dict_value(font_dict, b"Encoding")
+        if enc_raw is not None:
+            enc_ref = _resolve_ref(enc_raw)
+            if enc_ref is not None and enc_ref in objects:
+                enc_dict = objects[enc_ref][0]
+            else:
+                enc_dict = enc_raw
+            diffs = _parse_differences(enc_dict)
+            if diffs:
+                out[name] = diffs
+                continue
+        tu_raw = _dict_value(font_dict, b"ToUnicode")
+        if tu_raw is None:
             continue
-        enc_ref = _resolve_ref(enc_raw)
-        if enc_ref is not None and enc_ref in objects:
-            enc_dict = objects[enc_ref][0]
-        else:
-            enc_dict = enc_raw
-        diffs = _parse_differences(enc_dict)
-        if diffs:
-            out[name] = diffs
+        tu_ref = _resolve_ref(tu_raw)
+        if tu_ref is None or tu_ref not in objects:
+            continue
+        tu_dict, tu_stream = objects[tu_ref]
+        if tu_stream is None:
+            continue
+        decoded = _decode_stream(tu_dict, tu_stream)
+        if not decoded:
+            continue
+        cmap = parse_tounicode_cmap(decoded)
+        if cmap is not None:
+            out[name] = cmap
     return out
 
 

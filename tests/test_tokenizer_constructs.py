@@ -407,3 +407,83 @@ def test_literal_string_utf16_bom():
     ops = (b"BT /F1 10 Tf 1 0 0 1 50 700 Tm "
            b"(\\376\\377\x00h\x00i) Tj ET")
     assert [t for t, _, _ in _texts(tokenize_pdf(_pdf(ops)))] == ["hi"]
+
+
+# --- Type0/CID fonts with /ToUnicode CMaps ----------------------------------
+
+
+def _tounicode_obj(num: int, cmap_body: bytes) -> bytes:
+    stream = zlib.compress(cmap_body)
+    return (b"%d 0 obj << /Length %d /Filter /FlateDecode >> stream\n"
+            % (num, len(stream)) + stream + b"\nendstream endobj")
+
+
+_CMAP_HELLO = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+3 beginbfchar
+<0003> <0048>
+<0004> <0065>
+<0007> <006F>
+endbfchar
+1 beginbfrange
+<0005> <0006> <006C>
+endbfrange
+endcmap end end"""
+
+
+def test_type0_tounicode_hex_string_decodes():
+    # subset font: CIDs 3,4,5,5,7 -> H e l l o via bfchar + bfrange
+    font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/AAAAAA+Subset "
+            b"/Encoding/Identity-H /ToUnicode 11 0 R >> endobj")
+    cmap = _tounicode_obj(11, _CMAP_HELLO)
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <00030004000500050007> Tj ET"
+    pdf = _pdf_with_font(ops, [font, cmap], b"/F1 10 0 R")
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["Hello"]
+
+
+def test_type0_tounicode_bfrange_array_form():
+    cmap_body = (b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+                 b"1 beginbfrange\n<0001> <0003> [<0041> <0062> <0063>]\n"
+                 b"endbfrange")
+    font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/BBBBBB+Subset "
+            b"/Encoding/Identity-H /ToUnicode 11 0 R >> endobj")
+    cmap = _tounicode_obj(11, cmap_body)
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <000100020003> Tj ET"
+    pdf = _pdf_with_font(ops, [font, cmap], b"/F1 10 0 R")
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["Abc"]
+
+
+def test_type0_tounicode_multichar_dst_and_tj_array():
+    # one CID expanding to a multi-char string (ligature), mixed into a TJ
+    # array with kern numbers
+    cmap_body = (b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+                 b"2 beginbfchar\n<0001> <00660069>\n<0002> <0078>\n"
+                 b"endbfchar")
+    font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/CCCCCC+Sub "
+            b"/Encoding/Identity-H /ToUnicode 11 0 R >> endobj")
+    cmap = _tounicode_obj(11, cmap_body)
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm [<0001> -20 <0002>] TJ ET"
+    pdf = _pdf_with_font(ops, [font, cmap], b"/F1 10 0 R")
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["fix"]
+
+
+def test_type0_unmapped_cid_suppressed_not_mojibake():
+    # codes outside the CMap produce nothing; mapped codes still decode
+    cmap_body = (b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+                 b"1 beginbfchar\n<0001> <0059>\nendbfchar")
+    font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/DDDDDD+Sub "
+            b"/Encoding/Identity-H /ToUnicode 11 0 R >> endobj")
+    cmap = _tounicode_obj(11, cmap_body)
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <000100FF0001> Tj ET"
+    pdf = _pdf_with_font(ops, [font, cmap], b"/F1 10 0 R")
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["YY"]
+
+
+def test_cid_font_without_tounicode_still_guarded():
+    # no ToUnicode: the control-byte guard must keep suppressing the run
+    font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/EEEEEE+Sub "
+            b"/Encoding/Identity-H >> endobj")
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <00030004000500050007> Tj ET"
+    pdf = _pdf_with_font(ops, [font], b"/F1 10 0 R")
+    assert _texts(tokenize_pdf(pdf)) == []
