@@ -93,12 +93,20 @@ def write_checkpoint(
     written = spark.read.parquet(run_path)
     if "partition_id" not in written.columns:
         written = written.withColumn("partition_id", F.lit(-1))
-    payload = next((c for c in ("spans", "result") if c in written.columns), None)
-    byte_count = (
-        F.octet_length(F.to_json(F.col(payload))).cast("long")
-        if payload is not None
-        else F.lit(0).cast("long")
-    )
+    if "byte_count" in written.columns:
+        # computed by the WRITING task in the same job as the spans write
+        # (one to_json per doc, amortized into the write pass) — the commit
+        # only reads the column back
+        byte_count = F.col("byte_count").cast("long")
+    else:
+        payload = next(
+            (c for c in ("spans", "result") if c in written.columns), None
+        )
+        byte_count = (
+            F.octet_length(F.to_json(F.col(payload))).cast("long")
+            if payload is not None
+            else F.lit(0).cast("long")
+        )
     lineage = written.select(
         F.lit(run_id).alias("run_id"),
         F.col("partition_id").cast("int").alias("partition_id"),

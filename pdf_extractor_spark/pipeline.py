@@ -52,6 +52,9 @@ SESSION_DEFAULTS = {
     # disables runtime coalescing for the cached subtree — measured 45s vs
     # 2.4s on dedup_minhash_bands' persisted band relation at sf0.1
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # Long-lived, reused Python workers: every leg of the scaling sweep
+    # amortizes worker spin-up identically (BENCH/BASELINE.md cites this)
+    "spark.python.worker.reuse": "true",
     # Arrow everywhere; modest batches because span arrays are fat
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
@@ -352,6 +355,10 @@ def run_extraction_job(
         "content_hash",
         "spans",
         F.size("spans").alias("span_count"),
+        # serialized payload size, computed by the writing task while the
+        # spans are in memory — the lineage commit reads it back instead of
+        # re-serializing every span array a second time
+        F.octet_length(F.to_json("spans")).cast("long").alias("byte_count"),
         # the WRITING task's partition — recorded into lineage verbatim
         F.spark_partition_id().alias("partition_id"),
     )

@@ -26,6 +26,30 @@ def _h32_sql(expr: str) -> str:  # DuckDB side
     return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
 
 
+# k-permutation MinHash via universal hashing: ONE md5 per shingle, then
+# mh_i = (a_i·h + b_i) mod p per permutation (p = 2^31−1; h reduced mod p
+# first so a·h ≤ 2^62 never overflows int64 on either engine). The salted-
+# md5-per-permutation form costs k full digests per shingle — measured 8
+# md5s ≈ 45% of dedup_minhash_bands; this is the standard construction
+# (Broder '97 via Carter-Wegman hashing) real systems use at scale.
+_MINHASH_P = 2147483647
+_MINHASH_PERMS = [  # fixed (a, b) pairs, a ∈ [1, p), b ∈ [0, p)
+    (1203077, 528910760), (588341501, 1723852559), (914544919, 307678767),
+    (1476611229, 1947271919), (458339237, 1410199477), (1786093577, 672124131),
+    (1965359139, 1129766489), (245562091, 886239101),
+]
+
+
+def _perm_sql(h_expr: str, k: int) -> str:
+    a, b = _MINHASH_PERMS[k]
+    return f"(({a} * {h_expr} + {b}) % {_MINHASH_P})"
+
+
+def _perm_col(h_col, k: int):
+    a, b = _MINHASH_PERMS[k]
+    return (F.lit(a) * h_col + F.lit(b)) % F.lit(_MINHASH_P)
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -49,23 +73,18 @@ def dedup_exact(spark, sf_dir):
 @register(
     "dedup_minhash_signature",
     f"""WITH words AS (
-          SELECT d.doc_id, u.word FROM documents d,
+          SELECT d.doc_id,
+                 {_h32_sql("u.word")} % {_MINHASH_P} AS h
+          FROM documents d,
                unnest(list_distinct(string_split(lower(d.text), ' '))) u(word)
           WHERE u.word <> ''
         )
         SELECT doc_id,
-               min({_h32_sql("'1' || word")}) AS mh_1,
-               min({_h32_sql("'2' || word")}) AS mh_2,
-               min({_h32_sql("'3' || word")}) AS mh_3,
-               min({_h32_sql("'4' || word")}) AS mh_4,
-               min({_h32_sql("'5' || word")}) AS mh_5,
-               min({_h32_sql("'6' || word")}) AS mh_6,
-               min({_h32_sql("'7' || word")}) AS mh_7,
-               min({_h32_sql("'8' || word")}) AS mh_8
+               {", ".join(f"min({_perm_sql('h', k)}) AS mh_{k + 1}" for k in range(8))}
         FROM words GROUP BY doc_id""",
 )
 def dedup_minhash_signature(spark, sf_dir):
-    """MinHash signatures (k=8, salted md5 permutation approximation):
+    """MinHash signatures (k=8, one md5 + universal-hash permutations):
     shingle→minhash. Explode + grouped min — partial agg makes the shuffle
     carry only (doc, 8×int) rows regardless of document size."""
     d = t(spark, sf_dir, "documents")
@@ -80,10 +99,9 @@ def dedup_minhash_signature(spark, sf_dir):
                 F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
             )
         ).alias("word"),
-    )
+    ).select("doc_id", (_h32(F.col("word")) % _MINHASH_P).alias("h"))
     aggs = [
-        F.min(_h32(F.concat(F.lit(str(i)), F.col("word")))).alias(f"mh_{i}")
-        for i in range(1, 9)
+        F.min(_perm_col(F.col("h"), k)).alias(f"mh_{k + 1}") for k in range(8)
     ]
     return words.groupBy("doc_id").agg(*aggs)
 
@@ -100,10 +118,12 @@ _BANDS_PAIRS_CTE = f"""toks AS (
           SELECT DISTINCT doc_id,
                  l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
           FROM idx
+        ), hsh AS (
+          SELECT doc_id, {_h32_sql("shingle")} % {_MINHASH_P} AS h FROM dsh
         ), sigs AS (
           SELECT doc_id,
-                 {', '.join(f"min({_h32_sql(chr(39) + str(k) + chr(39) + ' || shingle')}) AS mh_{k}" for k in range(1, 9))}
-          FROM dsh GROUP BY doc_id
+                 {', '.join(f"min({_perm_sql('h', k - 1)}) AS mh_{k}" for k in range(1, 9))}
+          FROM hsh GROUP BY doc_id
         ), bands AS (
           SELECT doc_id, md5(mh_1::VARCHAR || '_' || mh_2::VARCHAR || '_' ||
                              mh_3::VARCHAR || '_' || mh_4::VARCHAR) AS band
@@ -163,12 +183,9 @@ def dedup_minhash_bands(spark, sf_dir):
                 )
             )
         ).alias("shingle"),
-    )
+    ).select("doc_id", (_h32(F.col("shingle")) % _MINHASH_P).alias("h"))
     sigs = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(_h32(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"mh_{i}")
-            for i in range(1, 9)
-        ]
+        *[F.min(_perm_col(F.col("h"), k)).alias(f"mh_{k + 1}") for k in range(8)]
     )
     # Both bands come out of ONE pass over the signatures via stack() (a
     # unionByName of two selects re-computes the whole scan→explode→agg

@@ -105,6 +105,7 @@ def run_stream_extraction(
             "content_hash",
             "spans",
             F.size("spans").alias("span_count"),
+            F.octet_length(F.to_json("spans")).cast("long").alias("byte_count"),
             F.spark_partition_id().alias("partition_id"),
         )
         out.write.mode("overwrite").parquet(spans_run_path(output_dir, batch_run))
