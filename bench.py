@@ -44,6 +44,7 @@ HEADLINE = [
 # measured the same way but reported separately — keeps the HEADLINE set
 # comparable round over round while still timing the newer operators
 EXTENDED = [
+    "dedup_winnow_pairs",
     "dedup_clusters",
     "w5_sessionize",
     "text_quality_filter",

@@ -937,21 +937,30 @@ def text_langid(spark, sf_dir):
     """Language ID: stopword-hit argmax over five language banks
     (en/pt/es/fr/de), same deterministic tie-break ladder as the oracle.
 
-    ONE tokenize pass: the text is split once on the non-word-char class
-    and each bank's count is a set-membership filter over the shared token
-    array (hash-set IN over ≤16 literals, all codegen) — the round-2
-    version ran five separate full-text regex scans, regressing the bench
-    0.36 → 0.66 s; this restores the single-scan shape."""
+    ONE tokenize pass, counts MATERIALIZED once: the text is split once on
+    the non-word-char class, and each bank's filter-count is computed in its
+    own projection column before the argmax ladder runs over plain ints.
+    Higher-order functions (ArrayFilter) sit outside whole-stage codegen's
+    common-subexpression elimination, so inlining the count expressions into
+    the when-ladder (the round-2 form) re-evaluated each bank's array scan
+    per comparison — ~20 array passes/row instead of 5. CollapseProject
+    keeps the intermediate projection because the counts are non-cheap and
+    referenced more than once."""
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.split(F.lower("text"), _TOKEN_SPLIT).alias("w")
     )
-    counts = {
-        lang: F.size(
-            F.filter(F.col("w"), lambda x: x.isin(*_STOPWORDS[lang]))
-        )
-        for lang in _LANG_ORDER
-    }
+    counted = toks.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(
+                F.filter(F.col("w"), lambda x: x.isin(*_STOPWORDS[lang]))
+            ).alias(f"c_{lang}")
+            for lang in _LANG_ORDER
+        ],
+    )
+    counts = {lang: F.col(f"c_{lang}") for lang in _LANG_ORDER}
     pred = F.lit(_LANG_ORDER[-1])
     for i in range(len(_LANG_ORDER) - 2, -1, -1):
         lang = _LANG_ORDER[i]
@@ -960,7 +969,7 @@ def text_langid(spark, sf_dir):
             c = counts[lang] >= counts[later]
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, lang).otherwise(pred)
-    return toks.select("doc_id", "lang", pred.alias("pred_lang"))
+    return counted.select("doc_id", "lang", pred.alias("pred_lang"))
 
 
 @register(
@@ -1023,18 +1032,26 @@ def text_fingerprint(spark, sf_dir):
 
 WINNOW_K = 8  # char k-gram length
 WINNOW_W = 4  # winnowing window (min-selection span)
+WINNOW_B = 257  # Karp-Rabin polynomial base (code-point Horner, mod 2^31-1)
 
 
-@register(
-    "text_winnowing",
-    f"""WITH base AS (
+# the relational statement of the winnowing selection — shared by the
+# text_winnowing summary oracle and the dedup_winnow_pairs oracle
+_WINNOW_SEL_CTE = f"""base AS (
          SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
-       ), pos AS (
-         SELECT doc_id, t,
-                unnest(range(1, greatest(length(t) - {WINNOW_K} + 1, 0) + 1)) AS i
+       ), cps AS (
+         SELECT doc_id, list_transform(string_split(t, ''), x -> unicode(x)) AS cp
          FROM base
+       ), pos AS (
+         SELECT doc_id, cp,
+                unnest(range(1, greatest(len(cp) - {WINNOW_K} + 1, 0) + 1)) AS i
+         FROM cps
        ), h AS (
-         SELECT doc_id, i, {_h32_sql(f"substr(t, i, {WINNOW_K})")} AS h FROM pos
+         SELECT doc_id, i,
+                list_reduce(cp[i:i + {WINNOW_K - 1}],
+                            (a, b) -> (a::BIGINT * {WINNOW_B} + b) % {_MINHASH_P})
+                  AS h
+         FROM pos
        ), wm AS (
          SELECT doc_id, h,
                 min(h) OVER (PARTITION BY doc_id ORDER BY i
@@ -1043,7 +1060,41 @@ WINNOW_W = 4  # winnowing window (min-selection span)
          FROM h
        ), sel AS (
          SELECT DISTINCT doc_id, h FROM wm WHERE h = wmin
-       )
+       )"""
+
+
+def _winnow_select(txt: str, k: int, w: int, m: int, B: int):
+    """Selected winnowing fingerprints of one document (sorted, unique int64
+    numpy array) — the paper's scheme with a Karp-Rabin polynomial gram hash.
+    Runs inside Arrow kernels on executors; pure numpy, no per-char Python."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    n = len(txt) - k + 1
+    if n <= 0:
+        return None  # shorter than one gram → no oracle rows either
+    # code points via utf-32 (one uint32 per Python char, so positions line
+    # up with the oracle's per-character split), then k vectorized Horner
+    # passes: h never exceeds p·B + cp < 2^40, no int64 overflow
+    cps = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    hs = np.zeros(n, dtype=np.int64)
+    for j in range(k):
+        hs = (hs * B + cps[j : j + n]) % m
+    # min over [i, min(i+w, n)) — full windows via the stride view, clipped
+    # tail windows via the suffix-min
+    suffix_min = np.minimum.accumulate(hs[::-1])[::-1]
+    if n >= w:
+        mins = np.concatenate(
+            [sliding_window_view(hs, w).min(axis=1), suffix_min[n - w + 1 :]]
+        )
+    else:
+        mins = suffix_min
+    return np.unique(hs[hs == mins])
+
+
+@register(
+    "text_winnowing",
+    f"""WITH {_WINNOW_SEL_CTE}
        SELECT doc_id, count(*) AS n_fps,
               (sum(h) % 2147483647)::BIGINT AS fp_checksum
        FROM sel GROUP BY doc_id""",
@@ -1066,11 +1117,16 @@ def text_winnowing(spark, sf_dir):
     (O(n²)/doc → 163 s at sf0.01), and the chars-array + slice/array_join
     variant still pays interpreted higher-order-function dispatch per
     position (HOFs fall out of whole-stage codegen; >400 s). The kernel
-    does the same work in numpy + hashlib inside ``mapInPandas`` — same
-    pattern (and rationale) as the tokenizer kernel. The oracle states the
-    identical semantics relationally (explode → window min → distinct →
-    agg); lowering happens JVM-side so Python string case rules never
-    touch the contract. Checksum is sum % 2^31−1 in int64 — h < 2^32 and
+    does the same work fully vectorized in numpy inside ``mapInPandas`` —
+    same pattern (and rationale) as the tokenizer kernel. The gram hash is
+    the paper's own Karp-Rabin polynomial (base 257 Horner over code
+    points, mod 2^31−1): k vectorized numpy passes per document replace
+    the per-position ``hashlib.md5`` of the first narrow version, which
+    still cost ~1 µs of Python per character (measured 2.0 → 0.8 s at
+    sf0.1). The oracle states the identical hash relationally
+    (``list_reduce`` Horner over the per-char code-point array, O(k) per
+    position). Lowering happens engine-side so Python string case rules
+    never touch the contract. Checksum is sum % 2^31−1 in int64 — h < p and
     selected-gram counts are document-bounded, so the sum cannot wrap on
     either engine."""
     from pyspark.sql.types import LongType, StructField, StructType
@@ -1086,45 +1142,15 @@ def text_winnowing(spark, sf_dir):
             StructField("fp_checksum", LongType()),
         ]
     )
-    k, w, m = WINNOW_K, WINNOW_W, 2147483647
+    k, w, m, B = WINNOW_K, WINNOW_W, 2147483647, WINNOW_B
 
     def winnow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        import numpy as np
-        from numpy.lib.stride_tricks import sliding_window_view
-
         for pdf in batches:
             ids, n_fps, checksums = [], [], []
             for doc_id, txt in zip(pdf["doc_id"], pdf["t"]):
-                n = len(txt) - k + 1
-                if n <= 0:
-                    continue  # shorter than one gram → no oracle rows either
-                hs = np.fromiter(
-                    (
-                        int(
-                            hashlib.md5(txt[i : i + k].encode("utf-8"))
-                            .hexdigest()[:8],
-                            16,
-                        )
-                        for i in range(n)
-                    ),
-                    dtype=np.int64,
-                    count=n,
-                )
-                # min over [i, min(i+w, n)) — full windows via the stride
-                # view, clipped tail windows via the suffix-min
-                suffix_min = np.minimum.accumulate(hs[::-1])[::-1]
-                if n >= w:
-                    mins = np.concatenate(
-                        [
-                            sliding_window_view(hs, w).min(axis=1),
-                            suffix_min[n - w + 1 :],
-                        ]
-                    )
-                else:
-                    mins = suffix_min
-                sel = np.unique(hs[hs == mins])
+                sel = _winnow_select(txt, k, w, m, B)
+                if sel is None:
+                    continue
                 ids.append(doc_id)
                 n_fps.append(len(sel))
                 checksums.append(int(sel.sum()) % m)
@@ -1133,6 +1159,96 @@ def text_winnowing(spark, sf_dir):
             )
 
     return proj.mapInPandas(winnow, schema)
+
+
+WINNOW_PAIR_MIN_SHARED = 5   # shared fingerprints to call a pair a near-dup
+WINNOW_HOT_DF_FRACTION = 0.1  # fingerprints in >10% of docs: boilerplate
+WINNOW_HOT_DF_FLOOR = 10      # ...but never drop fingerprints on tiny corpora
+
+
+@register(
+    "dedup_winnow_pairs",
+    f"""WITH {_WINNOW_SEL_CTE},
+       dfreq AS (
+         SELECT h, count(*) AS df FROM sel GROUP BY h
+       ), total AS (SELECT count(*) AS n_docs FROM documents
+       ), fps AS (
+         SELECT s.doc_id, s.h
+         FROM sel s JOIN dfreq f ON s.h = f.h, total
+         WHERE f.df <= greatest(n_docs * {WINNOW_HOT_DF_FRACTION},
+                                {WINNOW_HOT_DF_FLOOR})
+       )
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING count(*) >= {WINNOW_PAIR_MIN_SHARED}""",
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """Substring-overlap near-dup pairs via shared winnowing fingerprints —
+    what the MOSS scheme exists for: any pair sharing a substring of length
+    ≥ k+w−1 shares a fingerprint, so documents sharing ≥5 fingerprints have
+    overlapping passages even when word-level shingles are broken by edits.
+
+    Scale shape: fingerprint selection happens inside the narrow Arrow
+    kernel (only ~2/(w+1) of gram hashes ever leave the kernel — THIS is
+    the formulation where 'the shuffle carries selected hashes only' is
+    true), boilerplate fingerprints in >max(10% of corpus, 10) docs are
+    removed with a broadcast anti-join before the inverted-index self-join
+    (bounds every fp bucket, same df-cap as dedup_ngram_jaccard), and the
+    pair count is a grouped agg — never an all-pairs comparison."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = t(spark, sf_dir, "documents")
+    proj = d.select(
+        "doc_id", F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("t")
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", proj.schema["doc_id"].dataType),
+            StructField("fp", LongType()),
+        ]
+    )
+    k, w, m, B = WINNOW_K, WINNOW_W, 2147483647, WINNOW_B
+
+    def fp_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["t"]):
+                sel = _winnow_select(txt, k, w, m, B)
+                if sel is None:
+                    continue
+                ids.extend([doc_id] * len(sel))
+                fps.extend(sel.tolist())
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    sel = proj.mapInPandas(fp_rows, schema)
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    threshold = F.greatest(
+        F.col("n_docs") * WINNOW_HOT_DF_FRACTION,
+        F.lit(float(WINNOW_HOT_DF_FLOOR)),
+    )
+    hot = (
+        sel.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") > threshold)
+        .select("fp")
+    )
+    fps = sel.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_PAIR_MIN_SHARED)
+    )
 
 
 # ---------------------------------------------------------------------------

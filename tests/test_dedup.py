@@ -66,3 +66,38 @@ def test_candidate_join_is_bounded(spark, tmp_path):
     # the shared grams (df=40 > 12) are dropped; the unique grams pair no
     # documents → no candidates at all
     assert out.count() == 0
+
+
+def test_winnow_pairs_find_copied_passage(spark, tmp_path):
+    """A copied passage (≥ k+w−1 chars) with DIFFERENT surrounding text on
+    each side must pair via shared winnowing fingerprints — the
+    position-robust case word-shingle schemes miss when edits shift
+    offsets. Unrelated docs must not pair."""
+    from pdf_extractor_spark.pipeline_queries import (
+        WINNOW_PAIR_MIN_SHARED, dedup_winnow_pairs,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [f"prefix{i}pad {passage} suffix{i}tail" for i in range(2)]
+    # filler docs with no shared substrings of fingerprint length
+    texts += [f"zq{i}x" * 30 for i in range(2, 14)]
+    sf_dir = _write_documents(spark, tmp_path, texts)
+    rows = dedup_winnow_pairs(spark, sf_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs)
+    shared = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in rows}
+    assert shared[(0, 1)] >= WINNOW_PAIR_MIN_SHARED
+
+
+def test_winnow_pairs_hot_fingerprints_capped(spark, tmp_path):
+    """Boilerplate shared by ALL docs (df > max(10% n, floor)) is removed
+    before the self-join: 120 docs sharing one long boilerplate sentence
+    but otherwise unique must produce zero pairs."""
+    from pdf_extractor_spark.pipeline_queries import dedup_winnow_pairs
+
+    boiler = "this document is confidential and proprietary to the company"
+    n = 120
+    texts = [f"u{i}a{i}b{i}c{i} {boiler} z{i}y{i}x{i}w{i}" for i in range(n)]
+    sf_dir = _write_documents(spark, tmp_path, texts)
+    assert dedup_winnow_pairs(spark, sf_dir).count() == 0

@@ -34,10 +34,42 @@ def main() -> None:
              "format (batch_extract.py:23-32); defaults to the KB persisted "
              "in <output>/kb from the previous run",
     )
+    ap.add_argument(
+        "--bench-repeats", type=int, default=0,
+        help="scaling-evidence mode: run the spans job this many times into "
+             "fresh subdirs of <output>, time each INSIDE the submitted job "
+             "(JVM/executor spin-up excluded on every leg alike), print one "
+             "JSON line with per-leg seconds + best docs/sec",
+    )
     args = ap.parse_args()
 
     # spark-submit owns master/memory/conf; build_session is for in-process use
     spark = SparkSession.builder.appName("pdf_extractor_spark.extract").getOrCreate()
+
+    if args.bench_repeats:
+        import shutil
+        import time
+
+        from pdf_extractor_spark.pipeline import run_extraction_job
+
+        legs, docs = [], 0
+        for i in range(args.bench_repeats):
+            out = f"{args.output.rstrip('/')}/rep{i}"
+            t0 = time.time()
+            stats = run_extraction_job(
+                spark, args.input, out,
+                partitions=args.partitions, resume=False,
+            )
+            legs.append(round(time.time() - t0, 3))
+            docs = stats["docs"]
+            shutil.rmtree(out, ignore_errors=True)
+        best = min(legs)
+        print(json.dumps({
+            "docs": docs, "legs": legs, "seconds": best,
+            "docs_per_sec": round(docs / best, 2) if best else 0.0,
+        }))
+        spark.stop()
+        return
 
     if args.mode == "fields":
         from pdf_extractor_spark.kb import load_kb_json
