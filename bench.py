@@ -45,6 +45,9 @@ HEADLINE = [
 # comparable round over round while still timing the newer operators
 EXTENDED = [
     "dedup_winnow_pairs",
+    "dedup_keep_list",
+    "text_repetition",
+    "text_pii_scrub",
     "dedup_clusters",
     "w5_sessionize",
     "text_quality_filter",

@@ -1252,6 +1252,243 @@ def dedup_winnow_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation: splits, source stats, repetition signals, PII scrub,
+# cluster keep-lists — the decisions a pretraining pipeline makes AFTER
+# scoring/dedup candidate generation
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 80  # buckets [0,80) → train
+SPLIT_VAL_PCT = 10    # buckets [80,90) → val; [90,100) → test
+_SPLIT_SALT = "split:v1"  # version the assignment; changing it reshuffles
+
+
+@register(
+    "corpus_split_assign",
+    f"""SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':{_SPLIT_SALT}'), 1, 8))::BIGINT
+                 % 100 AS bucket,
+               CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':{_SPLIT_SALT}'), 1, 8))::BIGINT
+                         % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':{_SPLIT_SALT}'), 1, 8))::BIGINT
+                         % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents""",
+)
+def corpus_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment: salted md5 of the doc key →
+    bucket 0-99 → 80/10/10 split. The canonical held-out-split primitive:
+    stable across runs and machines (content-independent, key-hash based),
+    versioned by the salt so a pipeline can re-cut splits without touching
+    data. Narrow per-row projection — no shuffle, no state; at 100 TB this
+    is a free column on the scan."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f":{_SPLIT_SALT}"))), 1, 8
+            ), 16, 10
+        ).cast("bigint") % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "corpus_source_stats",
+    """SELECT source,
+              count(*)::BIGINT AS n_docs,
+              sum(n_chars)::BIGINT AS total_chars,
+              min(n_chars)::BIGINT AS min_chars,
+              max(n_chars)::BIGINT AS max_chars,
+              count(DISTINCT lang)::BIGINT AS n_langs
+       FROM documents GROUP BY source""",
+)
+def corpus_source_stats(spark, sf_dir):
+    """Per-source corpus composition: doc count, char volume, size range,
+    language spread — the curation dashboard a corpus owner reads before
+    setting per-source sampling weights. One map-side-combinable grouped
+    agg over a metadata projection (text column pruned from the scan)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register(
+    "text_repetition",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
+         FROM documents
+       ), w AS (
+         SELECT doc_id, unnest(l) AS word FROM toks
+       ), c AS (
+         SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word
+       )
+       SELECT doc_id,
+              sum(cnt)::BIGINT AS n_words,
+              count(*)::BIGINT AS n_distinct,
+              round(count(*) * 1.0 / sum(cnt), 4) AS distinct_ratio,
+              round(max(cnt) * 1.0 / sum(cnt), 4) AS top_word_ratio
+       FROM c GROUP BY doc_id""",
+)
+def text_repetition(spark, sf_dir):
+    """Within-document repetition signals (the Gopher/MassiveText family):
+    word count, distinct-word count, type-token ratio, and the mass of the
+    single most repeated word. Heavily repeated docs (low distinct_ratio /
+    high top_word_ratio) are boilerplate, keyword stuffing, or generation
+    loops — removed before training.
+
+    Shape: the classic two-level wordcount — explode → (doc, word) grouped
+    count → per-doc agg. Both aggregations are partial-agg (map-side
+    combine) shapes, and AQE coalesces the tiny second shuffle; no windows,
+    no joins. Ratios are computed in the final agg so only (doc, word, cnt)
+    rows ever shuffle."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    counts = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.count("*") * 1.0 / F.sum("cnt"), 4).alias("distinct_ratio"),
+        F.round(F.max("cnt") * 1.0 / F.sum("cnt"), 4).alias("top_word_ratio"),
+    )
+
+
+# PII patterns restricted to syntax both Java regex and RE2 (DuckDB) compile
+# identically: literal classes, bounded repeats, \b anchors — no lookaround,
+# no backrefs.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+@register(
+    "text_pii_scrub",
+    f"""WITH aug AS (
+         SELECT doc_id,
+                text || ' contact user' || doc_id::VARCHAR ||
+                '@example.com at 555-010-' ||
+                lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+                ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1' AS t
+         FROM documents
+       )
+       SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                '{_PII_IPV4}', '<IP>', 'g'),
+                '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+              (len(regexp_extract_all(t, '{_PII_EMAIL}')) +
+               len(regexp_extract_all(t, '{_PII_IPV4}')) +
+               len(regexp_extract_all(t, '{_PII_PHONE}')))::BIGINT AS n_pii
+       FROM aug""",
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction: emails, IPv4 addresses, and phone numbers replaced
+    with typed placeholder tokens, plus a per-doc redaction count — the
+    mandatory scrub stage before web text enters a training corpus.
+
+    The synthetic corpus contains no PII, so the oracle path would reduce
+    to the identity; to keep the hash gate meaningful the query first
+    APPENDS a deterministic per-doc PII tail (email + phone + IP derived
+    from doc_id) on BOTH engines and then scrubs it — every row exercises
+    all three patterns and the oracle verifies the redacted text and count
+    bit-for-bit. Patterns use only Java∩RE2 syntax (no lookaround). All
+    codegen `regexp_replace`/`regexp_extract_all` — narrow, zero shuffle."""
+    d = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com at 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    a = d.select("doc_id", aug.alias("t"))
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4, "<IP>",
+        ),
+        _PII_PHONE, "<PHONE>",
+    )
+    n_pii = (
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_EMAIL), 0))
+        + F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_IPV4), 0))
+        + F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_PHONE), 0))
+    ).cast("bigint")
+    return a.select("doc_id", scrub.alias("scrubbed"), n_pii.alias("n_pii"))
+
+
+@register(
+    "dedup_keep_list",
+    f"""WITH RECURSIVE {_BANDS_PAIRS_CTE},
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ), nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.d, r.label FROM reach r JOIN edges e ON r.id = e.s
+        ), comp AS (
+          SELECT id AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY id
+        ), assigned AS (
+          SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_id,
+                 d.n_chars
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        )
+        SELECT doc_id, cluster_id,
+               (row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) = 1) AS keep
+        FROM assigned""",
+)
+def dedup_keep_list(spark, sf_dir):
+    """The dedup DECISION: every document mapped to its near-dup cluster
+    (LSH candidates → connected components; singletons form their own
+    cluster) and exactly one canonical doc kept per cluster — the longest
+    text, ties to the smallest doc_id. This is the artifact downstream
+    jobs consume: `WHERE keep` is the training corpus.
+
+    Scale shape: the component labels cover only clustered docs (a tiny
+    fraction of the corpus), so the assignment is a left join of the full
+    corpus against a small label relation; the keep pick is a row_number
+    window partitioned by cluster — near-dup clusters are small, so no
+    partition skew, and singletons are size-1 partitions. At 10^9 docs the
+    label side stays broadcastable long after the corpus itself cannot
+    shuffle."""
+    pairs = dedup_minhash_bands(spark, sf_dir)
+    comp = _connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    assigned = d.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_rep"), F.col("doc_id")).alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return assigned.select(
+        "doc_id", "cluster_id", (F.row_number().over(w) == 1).alias("keep")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + typed metadata via mapInPandas)
 # ---------------------------------------------------------------------------
 
