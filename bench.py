@@ -46,6 +46,9 @@ HEADLINE = [
 EXTENDED = [
     "dedup_winnow_pairs",
     "dedup_keep_list",
+    "corpus_decontaminate",
+    "corpus_sample_mixture",
+    "corpus_pack_chunks",
     "text_repetition",
     "text_pii_scrub",
     "dedup_clusters",

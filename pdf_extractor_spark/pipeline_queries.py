@@ -1488,6 +1488,219 @@ def dedup_keep_list(spark, sf_dir):
     )
 
 
+# Decontamination n-gram width. Production pipelines use 8-13 word grams
+# (GPT-3 App. C uses 13); the synthetic corpus' docs are short, so 3 keeps
+# the op exercised with real hits. Width is the only knob — the plan shape
+# is identical at 13.
+_DECON_N = 3
+_DECON_BENCH_MOD = 97  # doc_id % 97 == 0 -> the held-out "benchmark" slice
+
+# word n-grams as space-joined token windows; identical construction both
+# engines (split on ' ', drop empties, slide width-_DECON_N)
+_GRAMS_SQL = f"""list_transform(
+      range(1, greatest(len(l) - {_DECON_N - 1}, 0) + 1),
+      i -> array_to_string(l[i:i+{_DECON_N - 1}], ' '))"""
+_GRAMS_SPARK = (
+    f"transform(sequence(1, greatest(size(l) - {_DECON_N - 1}, 0)), "
+    f"i -> array_join(slice(l, i, {_DECON_N}), ' '))"
+)
+
+
+@register(
+    "corpus_decontaminate",
+    f"""WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
+         FROM documents
+       ), grams AS (
+         SELECT doc_id, unnest({_GRAMS_SQL}) AS g FROM toks
+       ),
+       bench AS (SELECT DISTINCT g FROM grams
+                 WHERE doc_id % {_DECON_BENCH_MOD} = 0),
+       corp AS (SELECT DISTINCT doc_id, g FROM grams
+                WHERE doc_id % {_DECON_BENCH_MOD} <> 0),
+       hits AS (SELECT doc_id, count(*)::BIGINT AS n_hits
+                FROM corp JOIN bench USING (g) GROUP BY doc_id)
+       SELECT d.doc_id,
+              coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+              coalesce(h.n_hits, 0) > 0 AS contaminated
+       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       WHERE d.doc_id % {_DECON_BENCH_MOD} <> 0""",
+)
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with a held-out benchmark slice — the standard guard (GPT-3
+    Appendix C / PaLM style, 13-grams in production) against eval leakage
+    into the training set. The benchmark here is the deterministic
+    doc_id % 97 == 0 slice standing in for an external eval table.
+
+    Scale shape: the benchmark side is tiny relative to the corpus (eval
+    suites are ~10^5 grams vs 10^12 corpus grams), so its distinct grams
+    BROADCAST; the corpus side builds its gram array in-row (narrow),
+    dedups in-row via array_distinct, and the broadcast hash join + per-doc
+    count never shuffles corpus grams. The only exchanges are the per-doc
+    hit agg (tiny: matched grams only) and the left join back — which AQE
+    turns into a broadcast of the hit relation. At 13-grams with a hashed
+    gram key the broadcast is a long[] bloom-style set; same plan."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), w -> w != '')").alias("l"),
+    ).select("doc_id", F.expr(_GRAMS_SPARK).alias("grams"))
+    bench_grams = (
+        toks.where(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    corp = toks.where(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+    corp_grams = corp.select(
+        "doc_id", F.explode(F.array_distinct("grams")).alias("g")
+    )
+    hits = (
+        corp_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    out = (
+        d.where(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+        .select("doc_id")
+        .join(F.broadcast(hits), "doc_id", "left")
+    )
+    n = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+    return out.select("doc_id", n.alias("n_hits"), (n > 0).alias("contaminated"))
+
+
+_MIX_SALT = "mix:v1"  # versions the sampling decision, like _SPLIT_SALT
+_MIX_BUDGET = 0.5  # fraction of the corpus the rebalanced sample may keep
+
+
+@register(
+    "corpus_sample_mixture",
+    f"""WITH counts AS (
+         SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source
+       ), tot AS (
+         SELECT sum(n_s)::BIGINT AS n, count(*)::BIGINT AS s FROM counts
+       ), thresholds AS (
+         SELECT source,
+                floor(least(1.0, (n::DOUBLE / s) / n_s * {_MIX_BUDGET})
+                      * 4294967296)::BIGINT AS cutoff
+         FROM counts, tot
+       )
+       SELECT d.doc_id, d.source,
+              {_h32_sql(f"d.doc_id::VARCHAR || ':{_MIX_SALT}'")} < t.cutoff
+                AS keep
+       FROM documents d JOIN thresholds t USING (source)""",
+)
+def corpus_sample_mixture(spark, sf_dir):
+    """Mixture rebalancing: deterministic per-source downsampling toward a
+    uniform source mixture under a corpus budget. Each source gets quota
+    N·_MIX_BUDGET/S; a source with n_s docs keeps each doc with probability
+    min(1, quota/n_s), decided by a salted key hash — so the sample is
+    reproducible, versioned by the salt, and needs no RNG state. This is
+    the knob a pretraining pipeline turns when one crawl dominates the mix
+    (The Pile / Dolma style source weighting, here with uniform targets).
+
+    Scale shape: per-source counts are one map-side-combinable agg over a
+    pruned (doc_id, source) scan; the S-row threshold relation broadcasts;
+    the keep decision is then a narrow per-row hash compare — no shuffle
+    of the corpus at any point. The cutoff is materialized as an integer
+    (floor(p*2^32)) so the per-row compare is int-vs-int: no float
+    round-trip reaches the decision."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").alias("n"), F.count("*").alias("s")
+    )
+    thresholds = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.col("n").cast("double") / F.col("s")) / F.col("n_s")
+                * F.lit(_MIX_BUDGET),
+            )
+            * F.lit(4294967296.0)
+        ).cast("bigint").alias("cutoff"),
+    )
+    h = _h32(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_MIX_SALT}")))
+    return d.join(F.broadcast(thresholds), "source").select(
+        "doc_id", "source", (h < F.col("cutoff")).alias("keep")
+    )
+
+
+_PACK_BUDGET = 512  # tokens per training chunk
+_PACK_SHARDS = 8    # pack within (source, shard); raise with corpus size
+
+
+@register(
+    "corpus_pack_chunks",
+    f"""WITH toks AS (
+         SELECT doc_id, source, doc_id % {_PACK_SHARDS} AS shard,
+                len(list_filter(string_split(lower(text), ' '),
+                                w -> w <> ''))::BIGINT AS n_tok
+         FROM documents
+       ), c AS (
+         SELECT doc_id, source, shard, n_tok,
+                coalesce(sum(n_tok) OVER (
+                  PARTITION BY source, shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                  AS cum_before
+         FROM toks
+       )
+       SELECT doc_id, source, shard, n_tok,
+              cum_before // {_PACK_BUDGET} AS start_chunk,
+              (cum_before + greatest(n_tok, 1) - 1) // {_PACK_BUDGET}
+                AS end_chunk
+       FROM c""",
+)
+def corpus_pack_chunks(spark, sf_dir):
+    """Sequence packing (concat-and-chunk): documents are concatenated in
+    doc_id order within a (source, shard) stream and the token stream cut
+    into fixed {B}-token training chunks; each doc reports the chunk range
+    it lands in. This is the GPT-style packing layout planner — downstream
+    the chunk ranges drive the actual example writer.
+
+    Scale shape: the running token total is a window sum partitioned by
+    (source, shard) — sharding bounds every window partition to
+    corpus/(S*shards) rows, so no single-partition global sort ever forms;
+    at 100 TB raise _PACK_SHARDS so each stream fits an executor (chunk
+    ids stay deterministic per stream). Token counts are computed in-row;
+    only (doc_id, source, shard, n_tok) enters the exchange, never text."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.expr("filter(split(lower(text), ' '), w -> w != '')"))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint")
+    c = toks.withColumn("cum_before", cum_before)
+    return c.select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tok",
+        F.floor(F.col("cum_before") / _PACK_BUDGET).cast("bigint")
+        .alias("start_chunk"),
+        F.floor(
+            (F.col("cum_before") + F.greatest(F.col("n_tok"), F.lit(1)) - 1)
+            / _PACK_BUDGET
+        ).cast("bigint").alias("end_chunk"),
+    )
+
+
+corpus_pack_chunks.__doc__ = corpus_pack_chunks.__doc__.replace(
+    "{B}", str(_PACK_BUDGET)
+)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + typed metadata via mapInPandas)
 # ---------------------------------------------------------------------------

@@ -76,3 +76,90 @@ def test_keep_list_one_canonical_per_cluster(spark, tmp_path):
     kept = [m for m in members if m["keep"]][0]
     longest = max(members, key=lambda m: len(texts[m["doc_id"]]))
     assert kept["doc_id"] == longest["doc_id"]  # longest text wins
+
+
+def _write_documents_src(spark, tmp_path, rows):
+    """rows: list of (text, source)."""
+    import os
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    data = [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows)]
+    spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    return sf_dir
+
+
+def test_decontaminate_flags_ngram_overlap(spark, tmp_path):
+    from pdf_extractor_spark.pipeline_queries import corpus_decontaminate
+
+    # doc 0 (0 % 97 == 0) is the benchmark slice; doc 1 shares the 3-gram
+    # "secret eval answer"; doc 2 shares only a 2-gram ("secret eval") — below
+    # the width, must stay clean; doc 3 is disjoint.
+    texts = [
+        "the secret eval answer is here",
+        "copied text with secret eval answer inside",
+        "mentions secret eval only briefly",
+        "totally unrelated words in this document",
+    ]
+    sf = _write_documents(spark, tmp_path, texts)
+    rows = {r["doc_id"]: r for r in corpus_decontaminate(spark, sf).collect()}
+    assert 0 not in rows  # benchmark docs are not scored
+    assert rows[1]["contaminated"] and rows[1]["n_hits"] >= 1
+    assert not rows[2]["contaminated"] and rows[2]["n_hits"] == 0
+    assert not rows[3]["contaminated"]
+
+
+def test_sample_mixture_downsamples_dominant_source(spark, tmp_path):
+    from pdf_extractor_spark.pipeline_queries import corpus_sample_mixture
+
+    # 360 docs from "web", 6 from "books": budgeted quota = 366*0.5/2 = 91.5
+    # per source -> books keeps everything (p=1), web keeps ~91.5/360 = 25%.
+    rows = [(f"web doc {i} tokens", "web") for i in range(360)]
+    rows += [(f"book doc {i} tokens", "books") for i in range(6)]
+    sf = _write_documents_src(spark, tmp_path, rows)
+    out = corpus_sample_mixture(spark, sf).collect()
+    a = {r["doc_id"]: r for r in out}
+    b = {r["doc_id"]: r for r in corpus_sample_mixture(spark, sf).collect()}
+    assert {k: v["keep"] for k, v in a.items()} == {
+        k: v["keep"] for k, v in b.items()
+    }  # deterministic
+    books = [r for r in out if r["source"] == "books"]
+    assert all(r["keep"] for r in books)  # p=1 side never drops
+    web_kept = sum(r["keep"] for r in out if r["source"] == "web")
+    assert 0.15 * 360 < web_kept < 0.37 * 360  # ~25% with hash wobble
+
+
+def test_pack_chunks_accumulates_within_shard(spark, tmp_path):
+    from pdf_extractor_spark.pipeline_queries import (
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+        corpus_pack_chunks,
+    )
+
+    assert (_PACK_BUDGET, _PACK_SHARDS) == (512, 8)
+    # 17 docs of 300 tokens each, one source: shard k holds doc ids k, k+8,
+    # k+16 — within a shard the stream accumulates 300-token docs.
+    texts = [("tok " * 300).strip() for _ in range(17)]
+    sf = _write_documents(spark, tmp_path, texts)
+    rows = {r["doc_id"]: r for r in corpus_pack_chunks(spark, sf).collect()}
+    assert all(r["n_tok"] == 300 for r in rows.values())
+    # shard 0 stream: doc 0 [0, 300), doc 8 [300, 600), doc 16 [600, 900)
+    assert (rows[0]["start_chunk"], rows[0]["end_chunk"]) == (0, 0)
+    assert (rows[8]["start_chunk"], rows[8]["end_chunk"]) == (0, 1)  # 300..599
+    assert (rows[16]["start_chunk"], rows[16]["end_chunk"]) == (1, 1)  # 600..899
+    # first doc of every other shard starts at chunk 0
+    for k in range(1, 8):
+        assert rows[k]["start_chunk"] == 0
+
+
+def test_pack_chunks_empty_doc_occupies_one_position(spark, tmp_path):
+    from pdf_extractor_spark.pipeline_queries import corpus_pack_chunks
+
+    sf = _write_documents(spark, tmp_path, ["", "one two three"])
+    rows = {r["doc_id"]: r for r in corpus_pack_chunks(spark, sf).collect()}
+    assert rows[0]["n_tok"] == 0
+    assert rows[0]["start_chunk"] == rows[0]["end_chunk"] == 0
