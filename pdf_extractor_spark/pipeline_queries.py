@@ -990,6 +990,68 @@ def text_token_count(spark, sf_dir):
     )
 
 
+_QMODEL_SALT = "qw:v1"  # versions the hashed weight table
+
+
+@register(
+    "text_quality_model",
+    f"""WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(coalesce(text, '')), ' '),
+                            w -> w <> '') AS l
+         FROM documents
+       )
+       SELECT doc_id,
+              len(l)::BIGINT AS n_tok,
+              coalesce(list_sum(list_transform(l,
+                w -> {_h32_sql(f"w || ':{_QMODEL_SALT}'")} - 2147483648)),
+                0)::BIGINT AS sum_w,
+              coalesce(list_sum(list_transform(l,
+                w -> {_h32_sql(f"w || ':{_QMODEL_SALT}'")} - 2147483648)),
+                0) > 0 AS keep
+       FROM toks""",
+)
+def text_quality_model(spark, sf_dir):
+    """Model-based quality scoring — the fastText-style hashed linear
+    classifier stage (the DCLM / FineWeb-Edu pipeline shape): each token
+    hashes to a weight bucket, the document logit is the mean bucket
+    weight, and `keep` is the positive-class decision. Here the weight
+    table is the deterministic hash itself centered to [-2^31, 2^31)
+    (h32(token+salt) - 2^31) — a stand-in for learned weights with the
+    IDENTICAL plan shape: a real model broadcasts its bucket array and the
+    hash becomes the array index, nothing else changes.
+
+    The logit is kept EXACT: sum_w is an int64 sum of centered int32-range
+    terms (document-bounded, cannot wrap) and the decision is sum_w > 0 —
+    sigmoid is monotone, so thresholding the logit at 0 is thresholding
+    the probability at 0.5, and no libm float (exp) ever reaches the
+    cross-engine comparison. The mean weight is sum_w / n_tok / 2^31 in
+    (-1, 1) for consumers that want a calibrated-ish score.
+
+    Scale shape: tokens explode, the per-token hash stays in whole-stage
+    codegen, and the per-doc (count, sum) aggregate combines map-side — the
+    exchange carries one partial row per doc per partition, never token
+    rows. explode_outer keeps empty documents in the output (n_tok=0,
+    keep=false) without a join back to the corpus. The oracle states the
+    same sum in-row (list_transform/list_sum) with the ::BIGINT cast
+    keeping DuckDB's HUGEINT sum out of the comparison layer."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr("filter(split(lower(coalesce(text, '')), ' '), w -> w != '')")
+        ).alias("w"),
+    )
+    centered = _h32(
+        F.concat(F.col("w"), F.lit(f":{_QMODEL_SALT}"))
+    ) - F.lit(2147483648)
+    return toks.groupBy("doc_id").agg(
+        F.count("w").alias("n_tok"),
+        F.coalesce(F.sum(centered), F.lit(0)).cast("bigint").alias("sum_w"),
+        (F.coalesce(F.sum(centered), F.lit(0)) > 0).alias("keep"),
+    )
+
+
 @register(
     "text_fingerprint",
     f"""WITH words AS (
@@ -1061,6 +1123,20 @@ _WINNOW_SEL_CTE = f"""base AS (
        ), sel AS (
          SELECT DISTINCT doc_id, h FROM wm WHERE h = wmin
        )"""
+
+
+def _min_parallelism(df, spark):
+    """Small-input guard for Arrow-kernel stages: a local test table often
+    arrives as ONE scan split (a 584 KB parquet is one row group), which
+    serializes the mapInPandas kernel on one core. If the scan has fewer
+    partitions than the session's parallelism, round-robin repartition up —
+    the exchange moves only the projected (doc_id, text) rows of a small
+    input. At production scale the input has thousands of natural splits,
+    the branch is not taken, and no exchange is added."""
+    goal = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < goal:
+        return df.repartition(goal)
+    return df
 
 
 def _winnow_select(txt: str, k: int, w: int, m: int, B: int):
@@ -1158,12 +1234,18 @@ def text_winnowing(spark, sf_dir):
                 {"doc_id": ids, "n_fps": n_fps, "fp_checksum": checksums}
             )
 
-    return proj.mapInPandas(winnow, schema)
+    return _min_parallelism(proj, spark).mapInPandas(winnow, schema)
 
 
-WINNOW_PAIR_MIN_SHARED = 5   # shared fingerprints to call a pair a near-dup
-WINNOW_HOT_DF_FRACTION = 0.1  # fingerprints in >10% of docs: boilerplate
+WINNOW_PAIR_MIN_SHARED = 5    # shared fingerprints to call a pair a near-dup
+WINNOW_HOT_DF_FRACTION = 0.02  # fingerprints in >2% of docs: boilerplate.
+                               # Measured on the synthetic corpus: at 10%
+                               # the 767 template fingerprints with df in
+                               # [256,500] contributed 31.3M of 33.6M pair
+                               # expansions while carrying no overlap signal
 WINNOW_HOT_DF_FLOOR = 10      # ...but never drop fingerprints on tiny corpora
+WINNOW_HOT_DF_CAP = 10_000    # absolute bucket ceiling — 2% of 10^9 docs is
+                              # not a near-dup signal, it's boilerplate
 
 
 @register(
@@ -1175,8 +1257,9 @@ WINNOW_HOT_DF_FLOOR = 10      # ...but never drop fingerprints on tiny corpora
        ), fps AS (
          SELECT s.doc_id, s.h
          FROM sel s JOIN dfreq f ON s.h = f.h, total
-         WHERE f.df <= greatest(n_docs * {WINNOW_HOT_DF_FRACTION},
-                                {WINNOW_HOT_DF_FLOOR})
+         WHERE f.df <= least(greatest(n_docs * {WINNOW_HOT_DF_FRACTION},
+                                      {WINNOW_HOT_DF_FLOOR}),
+                             {WINNOW_HOT_DF_CAP})
        )
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
        FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -1189,13 +1272,20 @@ def dedup_winnow_pairs(spark, sf_dir):
     ≥ k+w−1 shares a fingerprint, so documents sharing ≥5 fingerprints have
     overlapping passages even when word-level shingles are broken by edits.
 
-    Scale shape: fingerprint selection happens inside the narrow Arrow
-    kernel (only ~2/(w+1) of gram hashes ever leave the kernel — THIS is
-    the formulation where 'the shuffle carries selected hashes only' is
-    true), boilerplate fingerprints in >max(10% of corpus, 10) docs are
-    removed with a broadcast anti-join before the inverted-index self-join
-    (bounds every fp bucket, same df-cap as dedup_ngram_jaccard), and the
-    pair count is a grouped agg — never an all-pairs comparison."""
+    Scale shape: the fingerprint index (doc_id, fp) is computed ONCE by the
+    narrow Arrow kernel and persisted — the round-2 formulation consumed it
+    three times (df pass + both sides of a self-join), re-running the
+    kernel each time (22.8 s at sf0.1). Pass 1 over the index is a
+    count-only groupBy (map-side combinable, skew-safe) whose hot
+    fingerprints — df > min(max(2% of corpus, 10), {WINNOW_HOT_DF_CAP}) —
+    broadcast into an anti-join; the absolute cap matters at 10^9 docs,
+    where a fractional-only threshold would admit 10^8-doc boilerplate
+    buckets. Pass 2 builds each surviving fingerprint's doc bucket with
+    collect_list (bounded by the cap, so no aggregation buffer can exceed
+    it) and expands the C(n,2) pairs IN-ROW — replacing the self-join's two
+    shuffles + join with one exchange and a narrow flatten. The pair count
+    is a grouped agg — never an all-pairs comparison. The oracle states the
+    identical relation as the classic inverted-index self-join."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     d = t(spark, sf_dir, "documents")
@@ -1221,31 +1311,39 @@ def dedup_winnow_pairs(spark, sf_dir):
                 fps.extend(sel.tolist())
             yield pd.DataFrame({"doc_id": ids, "fp": fps})
 
-    sel = proj.mapInPandas(fp_rows, schema)
-    n_docs = d.agg(F.count("*").alias("n_docs"))
-    threshold = F.greatest(
-        F.col("n_docs") * WINNOW_HOT_DF_FRACTION,
-        F.lit(float(WINNOW_HOT_DF_FLOOR)),
+    # the index is read by two aggregation passes; persist() keeps the Arrow
+    # kernel (the expensive stage) single-execution. Consumers that time or
+    # chain this query clear the cache afterwards (bench.py clearCache()).
+    sel = _min_parallelism(proj, spark).mapInPandas(fp_rows, schema).persist()
+    # count-only collect: the df threshold becomes a plan literal
+    n_docs = d.count()
+    thr = min(
+        max(n_docs * WINNOW_HOT_DF_FRACTION, float(WINNOW_HOT_DF_FLOOR)),
+        float(WINNOW_HOT_DF_CAP),
     )
     hot = (
         sel.groupBy("fp")
         .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .where(F.col("df") > threshold)
+        .where(F.col("df") > thr)
         .select("fp")
     )
-    fps = sel.join(F.broadcast(hot), "fp", "left_anti")
-    a = fps.alias("a")
-    b = fps.alias("b")
+    buckets = (
+        sel.join(F.broadcast(hot), "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) -> "
+                "transform(slice(docs, i + 2, size(docs) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= WINNOW_PAIR_MIN_SHARED)
     )
@@ -1699,6 +1797,48 @@ def corpus_pack_chunks(spark, sf_dir):
 corpus_pack_chunks.__doc__ = corpus_pack_chunks.__doc__.replace(
     "{B}", str(_PACK_BUDGET)
 )
+
+
+_VOCAB_K = 1000  # vocabulary size
+
+
+@register(
+    "corpus_vocab",
+    f"""WITH toks AS (
+         SELECT unnest(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                   w -> w <> '')) AS token
+         FROM documents
+       ), counts AS (
+         SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token
+       )
+       SELECT token, n FROM counts
+       ORDER BY n DESC, token LIMIT {_VOCAB_K}""",
+)
+def corpus_vocab(spark, sf_dir):
+    """Vocabulary induction: the corpus-wide top-{_VOCAB_K} tokens by
+    frequency — the counting pass every tokenizer-training run (BPE/
+    unigram) starts from, and the input to stopword lists and langid
+    banks. Ties break lexicographically so the cut is deterministic.
+
+    Scale shape: the token count is one map-side-combinable groupBy (the
+    exchange carries one (token, partial_count) row per distinct token per
+    partition, never token instances), and the global top-k lowers to
+    TakeOrderedAndProject — per-partition top-k merged on the driver,
+    no single-partition global sort ever forms. At 100 TB the only
+    size-sensitive relation is the distinct-token set, which partial
+    aggregation bounds per partition."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr("filter(split(lower(coalesce(text, '')), ' '), w -> w != '')")
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(_VOCAB_K)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -156,6 +156,43 @@ def test_pack_chunks_accumulates_within_shard(spark, tmp_path):
         assert rows[k]["start_chunk"] == 0
 
 
+def test_vocab_topk_counts_and_tiebreak(spark, tmp_path):
+    from pdf_extractor_spark.pipeline_queries import corpus_vocab
+
+    texts = ["aa bb aa", "bb cc aa", "zz cc"]
+    sf = _write_documents(spark, tmp_path, texts)
+    rows = corpus_vocab(spark, sf).collect()
+    assert [(r["token"], r["n"]) for r in rows] == [
+        ("aa", 3), ("bb", 2), ("cc", 2), ("zz", 1),
+    ]  # count desc, then lexicographic
+
+
+def test_quality_model_exact_hashed_logit(spark, tmp_path):
+    """sum_w must equal the independently computed sum of centered md5
+    bucket weights; empty docs stay in the output with keep=false."""
+    import hashlib
+
+    from pdf_extractor_spark.pipeline_queries import (
+        _QMODEL_SALT, text_quality_model,
+    )
+
+    texts = ["Alpha beta GAMMA beta", ""]
+    sf = _write_documents(spark, tmp_path, texts)
+    rows = {r["doc_id"]: r for r in text_quality_model(spark, sf).collect()}
+
+    def weight(tok):
+        h = int(hashlib.md5(f"{tok}:{_QMODEL_SALT}".encode()).hexdigest()[:8], 16)
+        return h - 2**31
+
+    toks = ["alpha", "beta", "gamma", "beta"]
+    expect = sum(weight(w) for w in toks)
+    assert rows[0]["n_tok"] == 4
+    assert rows[0]["sum_w"] == expect
+    assert rows[0]["keep"] == (expect > 0)
+    assert rows[1]["n_tok"] == 0
+    assert rows[1]["sum_w"] == 0 and not rows[1]["keep"]
+
+
 def test_pack_chunks_empty_doc_occupies_one_position(spark, tmp_path):
     from pdf_extractor_spark.pipeline_queries import corpus_pack_chunks
 
