@@ -50,6 +50,7 @@ EXTENDED = [
     "corpus_decontaminate",
     "corpus_sample_mixture",
     "corpus_pack_chunks",
+    "corpus_pack_write",
     "corpus_vocab",
     "text_repetition",
     "text_pii_scrub",

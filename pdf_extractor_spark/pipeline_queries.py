@@ -1799,6 +1799,124 @@ corpus_pack_chunks.__doc__ = corpus_pack_chunks.__doc__.replace(
 )
 
 
+@register(
+    "corpus_pack_write",
+    f"""WITH toks AS (
+         SELECT doc_id, source, doc_id % {_PACK_SHARDS} AS shard,
+                list_filter(string_split(lower(coalesce(text, '')), ' '),
+                            w -> w <> '') AS l
+         FROM documents
+       ), c AS (
+         SELECT doc_id, source, shard, l, len(l)::BIGINT AS n_tok,
+                coalesce(sum(len(l)) OVER (
+                  PARTITION BY source, shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                  AS cum_before
+         FROM toks
+       ), pieces AS (
+         SELECT source, shard, doc_id, l, n_tok, cum_before,
+                unnest(range(cum_before // {_PACK_BUDGET},
+                             (cum_before + greatest(n_tok, 1) - 1)
+                               // {_PACK_BUDGET} + 1)) AS chunk_id
+         FROM c
+       ), cut AS (
+         SELECT source, shard, chunk_id, doc_id,
+                greatest(chunk_id * {_PACK_BUDGET} - cum_before, 0) AS lo,
+                least(n_tok, (chunk_id + 1) * {_PACK_BUDGET} - cum_before) AS hi,
+                l
+         FROM pieces
+       ), texts AS (
+         SELECT source, shard, chunk_id, doc_id,
+                array_to_string(l[lo + 1 : hi], ' ') AS piece,
+                (hi - lo)::BIGINT AS n_piece
+         FROM cut WHERE hi > lo
+       )
+       SELECT source, shard, chunk_id,
+              sum(n_piece)::BIGINT AS n_tok,
+              string_agg(piece, ' ' ORDER BY doc_id) AS chunk_text
+       FROM texts GROUP BY source, shard, chunk_id""",
+)
+def corpus_pack_write(spark, sf_dir):
+    """The packing WRITER: materializes the fixed-{B}-token training chunks
+    the `corpus_pack_chunks` planner laid out — each document's token run
+    is cut at the chunk boundaries it straddles and each chunk reassembles
+    its pieces in stream (doc_id) order. This is the example-writer half of
+    GPT-style concat-and-chunk: `corpus_pack_chunks` says WHERE every doc
+    lands, this op emits the actual (source, shard, chunk_id, chunk_text)
+    rows a trainer shards and reads.
+
+    Scale shape: text crosses exactly TWO exchanges — the (source, shard)
+    stream window and the chunk reassembly groupBy — the lower bound for
+    any packing writer (tokens must meet their stream, then their chunk).
+    The boundary cut (lo/hi + slice) is narrow, the chunk fan-out per doc
+    is ≤ n_tok/{B} + 1 rows, and chunk groups are ≤ {B} tokens by
+    construction, so the reassembly agg has uniform, bounded buffers — no
+    key skew is possible. Sharding bounds each window partition exactly as
+    in the planner; chunks with no tokens (all-empty docs) never emit."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.expr("filter(split(lower(coalesce(text, '')), ' '), w -> w != '')")
+        .alias("l"),
+    ).withColumn("n_tok", F.size("l").cast("bigint"))
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint")
+    )
+    B = _PACK_BUDGET
+    pieces = c.select(
+        "source", "shard", "doc_id", "l", "n_tok", "cum_before",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("cum_before") / B),
+                F.floor((F.col("cum_before") + F.greatest("n_tok", F.lit(1)) - 1) / B),
+            )
+        ).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("chunk_id") * B - F.col("cum_before"), F.lit(0))
+    hi = F.least(F.col("n_tok"), (F.col("chunk_id") + 1) * B - F.col("cum_before"))
+    texts = (
+        pieces.select(
+            "source", "shard", "chunk_id", "doc_id",
+            lo.alias("lo"), hi.alias("hi"), "l",
+        )
+        .where(F.col("hi") > F.col("lo"))
+        .select(
+            "source", "shard", "chunk_id", "doc_id",
+            F.array_join(
+                F.slice(
+                    "l",
+                    (F.col("lo") + 1).cast("int"),
+                    (F.col("hi") - F.col("lo")).cast("int"),
+                ),
+                " ",
+            ).alias("piece"),
+            (F.col("hi") - F.col("lo")).cast("bigint").alias("n_piece"),
+        )
+    )
+    return texts.groupBy("source", "shard", "chunk_id").agg(
+        F.sum("n_piece").cast("bigint").alias("n_tok"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "piece"))),
+                lambda s: s["piece"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+corpus_pack_write.__doc__ = corpus_pack_write.__doc__.replace(
+    "{B}", str(_PACK_BUDGET)
+)
+
+
 _VOCAB_K = 1000  # vocabulary size
 
 

@@ -156,6 +156,32 @@ def test_pack_chunks_accumulates_within_shard(spark, tmp_path):
         assert rows[k]["start_chunk"] == 0
 
 
+def test_pack_write_cuts_doc_at_chunk_boundary(spark, tmp_path):
+    """A doc straddling a chunk boundary contributes its first tokens to
+    the earlier chunk and the rest to the next; chunk text preserves
+    stream (doc_id) order."""
+    from pdf_extractor_spark.pipeline_queries import (
+        _PACK_BUDGET, corpus_pack_write,
+    )
+
+    # shard 0 stream = docs 0, 8: doc 0 has B-2 tokens, doc 8 has 4 -> chunk 0
+    # ends with doc 8's first 2 tokens, chunk 1 starts with its last 2.
+    doc0 = " ".join(f"a{i}" for i in range(_PACK_BUDGET - 2))
+    doc8 = "x0 x1 x2 x3"
+    texts = [doc0] + ["" for _ in range(7)] + [doc8]
+    sf = _write_documents(spark, tmp_path, texts)
+    rows = {
+        (r["shard"], r["chunk_id"]): r
+        for r in corpus_pack_write(spark, sf).collect()
+    }
+    c0 = rows[(0, 0)]
+    assert c0["n_tok"] == _PACK_BUDGET
+    assert c0["chunk_text"].endswith(f"a{_PACK_BUDGET - 3} x0 x1")
+    c1 = rows[(0, 1)]
+    assert (c1["n_tok"], c1["chunk_text"]) == (2, "x2 x3")
+    assert len(rows) == 2  # empty docs never emit chunks
+
+
 def test_vocab_topk_counts_and_tiebreak(spark, tmp_path):
     from pdf_extractor_spark.pipeline_queries import corpus_vocab
 
