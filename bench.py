@@ -52,6 +52,7 @@ EXTENDED = [
     "corpus_pack_chunks",
     "corpus_pack_write",
     "corpus_vocab",
+    "corpus_curation_record",
     "text_repetition",
     "text_pii_scrub",
     "text_quality_model",

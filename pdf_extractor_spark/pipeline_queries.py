@@ -1959,6 +1959,101 @@ def corpus_vocab(spark, sf_dir):
     )
 
 
+def _curation_record_sql() -> str:
+    """Compose the end-to-end decision-record oracle from the component
+    oracles already in the registry — single source of truth, no SQL
+    duplication; each component runs as a derived table (DuckDB scopes
+    their CTEs per subquery)."""
+    from pdf_extractor_spark.queries import all_oracles
+
+    o = all_oracles()
+    return f"""
+       SELECT d.doc_id,
+              (q.doc_id IS NOT NULL) AS quality_ok,
+              l.pred_lang,
+              k.cluster_id,
+              k.keep AS dedup_keep,
+              m.keep AS mix_keep,
+              (c.doc_id IS NULL) AS is_benchmark,
+              coalesce(c.contaminated, FALSE) AS contaminated,
+              s.split,
+              ((q.doc_id IS NOT NULL) AND k.keep AND m.keep
+                AND c.doc_id IS NOT NULL
+                AND NOT coalesce(c.contaminated, FALSE)) AS final_keep
+       FROM documents d
+       LEFT JOIN ({o["text_quality_filter"]}) q ON d.doc_id = q.doc_id
+       JOIN ({o["text_langid"]}) l ON d.doc_id = l.doc_id
+       JOIN ({o["dedup_keep_list"]}) k ON d.doc_id = k.doc_id
+       JOIN ({o["corpus_sample_mixture"]}) m ON d.doc_id = m.doc_id
+       LEFT JOIN ({o["corpus_decontaminate"]}) c ON d.doc_id = c.doc_id
+       JOIN ({o["corpus_split_assign"]}) s ON d.doc_id = s.doc_id"""
+
+
+@register("corpus_curation_record", _curation_record_sql())
+def corpus_curation_record(spark, sf_dir):
+    """The end-to-end curation DECISION RECORD — one row per document with
+    every gate's verdict and the final keep decision: quality filter pass,
+    predicted language, near-dup cluster + canonical pick, mixture-budget
+    sample, benchmark-decontamination flag, and train/val/test split.
+    `WHERE final_keep AND split = 'train'` is the training corpus; the
+    other columns are the audit trail (why a doc was dropped). This is the
+    artifact a pretraining pipeline actually materializes — the component
+    operators are its stages, composed here by doc_id equi-joins.
+
+    Scale shape: every component relation is doc-keyed, so the composition
+    is a chain of same-key equi-joins — one partitioning serves all of
+    them (co-partition/bucket the doc key at 100 TB and the joins are
+    zero-exchange zips). No component is recomputed differently here: the
+    Spark side calls the registered functions, the oracle embeds the
+    registered SQL as derived tables — single source of truth on both
+    engines."""
+    d = t(spark, sf_dir, "documents")
+    q = text_quality_filter(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("quality_ok")
+    )
+    l = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    k = dedup_keep_list(spark, sf_dir).select(
+        "doc_id", "cluster_id", F.col("keep").alias("dedup_keep")
+    )
+    m = corpus_sample_mixture(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("mix_keep")
+    )
+    c = corpus_decontaminate(spark, sf_dir).select(
+        "doc_id", "contaminated", F.lit(True).alias("_scored")
+    )
+    s = corpus_split_assign(spark, sf_dir).select("doc_id", "split")
+    out = (
+        d.select("doc_id")
+        .join(q, "doc_id", "left")
+        .join(l, "doc_id")
+        .join(k, "doc_id")
+        .join(m, "doc_id")
+        .join(c, "doc_id", "left")
+        .join(s, "doc_id")
+    )
+    quality_ok = F.coalesce(F.col("quality_ok"), F.lit(False))
+    scored = F.coalesce(F.col("_scored"), F.lit(False))
+    contaminated = F.coalesce(F.col("contaminated"), F.lit(False))
+    return out.select(
+        "doc_id",
+        quality_ok.alias("quality_ok"),
+        "pred_lang",
+        "cluster_id",
+        "dedup_keep",
+        "mix_keep",
+        (~scored).alias("is_benchmark"),
+        contaminated.alias("contaminated"),
+        "split",
+        (
+            quality_ok
+            & F.col("dedup_keep")
+            & F.col("mix_keep")
+            & scored
+            & ~contaminated
+        ).alias("final_keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + typed metadata via mapInPandas)
 # ---------------------------------------------------------------------------

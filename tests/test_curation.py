@@ -156,6 +156,31 @@ def test_pack_chunks_accumulates_within_shard(spark, tmp_path):
         assert rows[k]["start_chunk"] == 0
 
 
+def test_curation_record_composes_all_gates(spark, tmp_path):
+    """One row per doc; final_keep is exactly the conjunction of the
+    component verdicts; benchmark-slice docs are flagged and never kept."""
+    from pdf_extractor_spark.pipeline_queries import corpus_curation_record
+
+    texts = [
+        " ".join(f"word{i}x{j}" for j in range(30)) for i in range(20)
+    ]
+    sf = _write_documents(spark, tmp_path, texts)
+    rows = corpus_curation_record(spark, sf).collect()
+    assert len(rows) == 20 and len({r["doc_id"] for r in rows}) == 20
+    for r in rows:
+        expect = (
+            r["quality_ok"]
+            and r["dedup_keep"]
+            and r["mix_keep"]
+            and not r["is_benchmark"]
+            and not r["contaminated"]
+        )
+        assert r["final_keep"] == expect, r
+    bench = [r for r in rows if r["doc_id"] == 0][0]
+    assert bench["is_benchmark"] and not bench["final_keep"]
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+
+
 def test_pack_write_cuts_doc_at_chunk_boundary(spark, tmp_path):
     """A doc straddling a chunk boundary contributes its first tokens to
     the earlier chunk and the rest to the next; chunk text preserves
