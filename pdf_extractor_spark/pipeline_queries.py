@@ -1845,14 +1845,17 @@ def corpus_pack_write(spark, sf_dir):
     lands, this op emits the actual (source, shard, chunk_id, chunk_text)
     rows a trainer shards and reads.
 
-    Scale shape: text crosses exactly TWO exchanges — the (source, shard)
-    stream window and the chunk reassembly groupBy — the lower bound for
-    any packing writer (tokens must meet their stream, then their chunk).
-    The boundary cut (lo/hi + slice) is narrow, the chunk fan-out per doc
-    is ≤ n_tok/{B} + 1 rows, and chunk groups are ≤ {B} tokens by
-    construction, so the reassembly agg has uniform, bounded buffers — no
-    key skew is possible. Sharding bounds each window partition exactly as
-    in the planner; chunks with no tokens (all-empty docs) never emit."""
+    Scale shape: text crosses exactly ONE exchange — the (source, shard)
+    stream window. Catalyst proves the chunk-reassembly groupBy needs no
+    second shuffle: its keys (source, shard, chunk_id) are a superset of
+    the window's partitioning, so every chunk group is already co-located
+    (EXPLAIN.md: Window → Generate → ObjectHashAggregate with a single
+    Exchange). The boundary cut (lo/hi + slice) is narrow, the chunk
+    fan-out per doc is ≤ n_tok/{B} + 1 rows, and chunk groups are ≤ {B}
+    tokens by construction, so the reassembly agg has uniform, bounded
+    buffers — no key skew is possible. Sharding bounds each window
+    partition exactly as in the planner; chunks with no tokens (all-empty
+    docs) never emit."""
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
