@@ -937,30 +937,50 @@ def text_langid(spark, sf_dir):
     """Language ID: stopword-hit argmax over five language banks
     (en/pt/es/fr/de), same deterministic tie-break ladder as the oracle.
 
-    ONE tokenize pass, counts MATERIALIZED once: the text is split once on
-    the non-word-char class, and each bank's filter-count is computed in its
-    own projection column before the argmax ladder runs over plain ints.
-    Higher-order functions (ArrayFilter) sit outside whole-stage codegen's
-    common-subexpression elimination, so inlining the count expressions into
-    the when-ladder (the round-2 form) re-evaluated each bank's array scan
-    per comparison — ~20 array passes/row instead of 5. CollapseProject
-    keeps the intermediate projection because the counts are non-cheap and
-    referenced more than once."""
+    Shape: explode the single tokenize pass, LEFT-broadcast-join the 79-row
+    (stopword, bank) dim, partial-agg per-bank hit counts per doc. All three
+    steps live in ONE whole-stage-codegen span, and the map-side hash agg
+    collapses the exploded tokens back to one row per doc BEFORE the
+    exchange — the shuffle carries (doc_id, 5 ints), never tokens.
+
+    Why not filter()+isin per bank (the round-2..3 form): higher-order
+    ArrayFilter is interpreted, and its per-token In-list evaluation
+    allocates per comparison — measured 5 ms CPU/doc, fully GC-bound (the
+    job burned all 32 hardware cores via GC threads even under local[8],
+    which also destroyed N-vs-4N scaling: wall time was pinned by GC
+    throughput, not task parallelism). The join form is a hash probe per
+    token inside codegen; a token in several banks (pt/es/fr all bank 'de')
+    multiplies join rows, which the per-bank conditional sums count
+    correctly — identical multiset semantics to the per-bank filters."""
     d = t(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", "lang", F.split(F.lower("text"), _TOKEN_SPLIT).alias("w")
-    )
-    counted = toks.select(
         "doc_id",
         "lang",
-        *[
-            F.size(
-                F.filter(F.col("w"), lambda x: x.isin(*_STOPWORDS[lang]))
-            ).alias(f"c_{lang}")
-            for lang in _LANG_ORDER
-        ],
+        F.col("text").isNull().alias("no_text"),
+        F.explode_outer(F.split(F.lower("text"), _TOKEN_SPLIT)).alias("tok"),
     )
-    counts = {lang: F.col(f"c_{lang}") for lang in _LANG_ORDER}
+    dim = spark.createDataFrame(
+        [(w, lang) for lang in _LANG_ORDER for w in _STOPWORDS[lang]],
+        "tok string, bank string",
+    )
+    counted = (
+        toks.join(F.broadcast(dim), "tok", "left")
+        .groupBy("doc_id", "lang", "no_text")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("bank") == lang, F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"c_{lang}")
+                for lang in _LANG_ORDER
+            ]
+        )
+    )
+    # NULL text: the legacy array form yields NULL counts -> every ladder
+    # cond is NULL -> ELSE bank; mirror that exactly.
+    counts = {
+        lang: F.when(~F.col("no_text"), F.col(f"c_{lang}"))
+        for lang in _LANG_ORDER
+    }
     pred = F.lit(_LANG_ORDER[-1])
     for i in range(len(_LANG_ORDER) - 2, -1, -1):
         lang = _LANG_ORDER[i]
