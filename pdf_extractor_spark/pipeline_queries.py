@@ -606,13 +606,26 @@ def _emb_norm(c):
 
 def _hyperplane(tbl: int, p: int, dim: int):
     """Deterministic md5-seeded random hyperplane (shared with
-    sim_ann_lsh_topk — same construction, parameterized)."""
-    comps = [
-        (F.conv(F.substring(F.md5(F.lit(f"{tbl}_{p}_{i}")), 1, 8), 16, 10)
-         .cast("double") / F.lit(2**31) - 1.0)
+    sim_ann_lsh_topk — same construction, parameterized).
+
+    The md5→uint32→[−1,1) values are computed DRIVER-SIDE and shipped as a
+    single array literal: they are constants, and the expression-tree form
+    (conv(substring(md5(lit)))/2³¹−1 per component) put ~18k expression
+    nodes into one projection for 8×5×64 planes — pure Catalyst
+    analysis/codegen weight (measured 28 s for sim_ann_lsh_topk at sf0.01,
+    dominated by compile, not rows). Python's
+    int(md5(s).hexdigest()[:8], 16)/2³¹−1 is bit-identical to the folded
+    SQL value, so plans, results, and the pinned recall tests are
+    unchanged — the plan just starts 40 Literal nodes instead."""
+    import hashlib
+
+    vals = [
+        int(hashlib.md5(f"{tbl}_{p}_{i}".encode()).hexdigest()[:8], 16)
+        / 2**31
+        - 1.0
         for i in range(dim)
     ]
-    return F.array(*comps)
+    return F.lit(vals)
 
 
 def _lsh_code(tbl: int, bits: int, dim: int, emb_col: str = "embedding"):
