@@ -251,6 +251,97 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
+# Min-label propagation costs one join + one grouped min per round but
+# needs O(component diameter) rounds. Near-dup graphs are dense and tiny
+# (diameter 1-2), so propagation is the cheap default; past this round
+# count a long-chain component is in play and the dispatcher switches to
+# the O(log n)-round star algorithm instead of propagating to the horizon.
+_PROP_ROUND_LIMIT = 10
+
+
+def _edge_signature(e):
+    """(row count, order-insensitive hash sum) — one tiny row to the driver;
+    equal signatures ⇔ equal edge multisets for convergence purposes. The
+    hashes accumulate as DECIMAL(38,0): a raw BIGINT sum of full-range
+    xxhash64 values overflows after a handful of rows, which under Spark's
+    default ANSI mode is a job-killing ARITHMETIC_OVERFLOW, not a wrap."""
+    return tuple(
+        e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+    )
+
+
+def _connected_components_star(pairs, a_col: str, b_col: str):
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    ACM SoCC 2014) → (id, label) with label = the component's min node id.
+
+    Each round rewires every node's strictly-larger neighbors (large-star),
+    then its smaller neighbors (small-star), to the minimum of its closed
+    neighborhood; components contract to stars centered at their min in
+    O(log n) rounds on ANY topology — the web-scale answer to min-label
+    propagation's O(diameter) rounds on chain-shaped components. Per round:
+    two grouped mins + two joins + a distinct, all keyed on node id, and
+    one signature scalar to the driver.
+
+    Each round's edge relation is materialized with an eager
+    localCheckpoint, not persist(): a persist caches data but keeps the
+    logical lineage, and this loop references the previous round's relation
+    ~12x per round (the symmetric union feeds two grouped mins and two
+    joins), so the un-truncated plan grows 12^rounds nodes — it overflowed
+    the analyzer's stack before a 120-node graph converged. Checkpointing
+    resets the plan to a leaf each round; on a real cluster the same call
+    stands (executor-local blocks; swap in reliable checkpoint(dir) when
+    rounds must survive executor loss)."""
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = _edge_signature(e)
+    while True:
+        # large-star: v ∈ N(u), v > u  →  (v, min(N(u) ∪ {u}))
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over (max, min)-oriented edges: smaller neighbors and
+        # the center itself all attach to the neighborhood min
+        o = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        omins = o.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            o.join(omins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(omins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _edge_signature(small)
+        e = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint edges are stars (child → component min): children appear as
+    # u, each center as v; the union is exactly the node set of `pairs`
+    return e.select(F.col("u").alias("id"), F.col("v").alias("label")).unionByName(
+        e.select(F.col("v").alias("id"), F.col("v").alias("label")).distinct()
+    )
+
+
 def _connected_components(pairs, a_col: str, b_col: str):
     """Min-label propagation over an undirected pair graph → (id, label)
     with label = the component's min node id. One join + grouped min per
@@ -264,8 +355,18 @@ def _connected_components(pairs, a_col: str, b_col: str):
     The loop runs to the sum fixpoint (labels only decrease, so an
     unchanged sum ⇔ no label moved ⇔ converged — a capped round count
     would silently return non-min labels on a chain whose diameter exceeds
-    the cap); at 10^9 nodes the same dataflow with pointer-jumping
-    (large-star/small-star) bounds rounds at O(log n)."""
+    the cap). A component whose diameter exceeds _PROP_ROUND_LIMIT
+    (adversarial chain shapes — never the dense near-dup clusters this
+    feeds on) trips the dispatcher to _connected_components_star, whose
+    round count is O(log n) regardless of topology.
+
+    Per-round labels are materialized with an eager localCheckpoint rather
+    than persist(): each round's plan references the previous round's
+    labels twice (the neighbor join and the label update), so an
+    un-truncated lineage doubles per round — 2^rounds plan leaves — and
+    analysis itself OOMs the driver right where the dispatcher would kick
+    in. persist() does not help: it caches execution but the analyzer
+    still walks the full logical tree."""
     edges = (
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
         .unionByName(
@@ -277,8 +378,15 @@ def _connected_components(pairs, a_col: str, b_col: str):
         "label", F.col("id")
     )
     prev_sum = None
-    prev_df = None
+    rounds = 0
     while True:
+        rounds += 1
+        if rounds > _PROP_ROUND_LIMIT:
+            # long-diameter component: restart on the star algorithm rather
+            # than propagating O(diameter) more rounds
+            out = _connected_components_star(pairs, a_col, b_col)
+            edges.unpersist()
+            return out
         neigh = (
             edges.join(labels.withColumnRenamed("id", "s"), "s")
             .groupBy(F.col("d").alias("id"))
@@ -292,16 +400,17 @@ def _connected_components(pairs, a_col: str, b_col: str):
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]  # materializes cache
-        if prev_df is not None:
-            prev_df.unpersist()
-        prev_df = labels
+        # decimal accumulation: a BIGINT sum of 10^9+ id-valued labels can
+        # exceed int64 and ANSI mode turns that into a hard failure
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    # the final labels are materialized in cache (the consumer reads them
+    # the final labels are a checkpointed leaf (the consumer reads them
     # without touching the edge lineage again) — the edge relation and its
     # pair-generation subtree can be released now
     edges.unpersist()

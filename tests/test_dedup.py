@@ -101,3 +101,42 @@ def test_winnow_pairs_hot_fingerprints_capped(spark, tmp_path):
     texts = [f"u{i}a{i}b{i}c{i} {boiler} z{i}y{i}x{i}w{i}" for i in range(n)]
     sf_dir = _write_documents(spark, tmp_path, texts)
     assert dedup_winnow_pairs(spark, sf_dir).count() == 0
+
+def _label_set(df):
+    return {(r["id"], r["label"]) for r in df.collect()}
+
+
+def test_star_cc_equals_propagation_on_random_graph(spark):
+    """large-star/small-star must compute the same (node -> component min)
+    map as min-label propagation on an arbitrary undirected graph."""
+    import random
+
+    from pdf_extractor_spark.pipeline_queries import (
+        _connected_components, _connected_components_star,
+    )
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    prop = _label_set(_connected_components(pairs, "a", "b"))
+    star = _label_set(_connected_components_star(pairs, "a", "b"))
+    assert star == prop
+
+
+def test_star_cc_chain_and_dispatch(spark):
+    """A 60-node chain (diameter 59) exceeds the propagation round cap, so
+    _connected_components must dispatch to the star algorithm and still
+    return the exact fixpoint: every node labeled 0."""
+    from pdf_extractor_spark.pipeline_queries import (
+        _PROP_ROUND_LIMIT, _connected_components, _connected_components_star,
+    )
+
+    n = 60
+    assert n - 1 > _PROP_ROUND_LIMIT
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    want = {(i, 0) for i in range(n)}
+    assert _label_set(_connected_components_star(pairs, "a", "b")) == want
+    assert _label_set(_connected_components(pairs, "a", "b")) == want
