@@ -940,11 +940,6 @@ _LANG_ORDER = ["en", "pt", "es", "fr", "de"]
 # regex form of the English bank — text_quality's stopword_ratio contract
 _EN_STOP = "(" + "|".join(_STOPWORDS["en"]) + ")"
 
-# langid tokenization: one split on the non-word-char class (accented Latin
-# letters count as word chars so 'não' survives whole) — ONE regex pass over
-# the text, vs the round-2 formulation's five full-text regexp_extract_all
-# scans (one per bank), which made langid the only bench regression
-_TOKEN_SPLIT = "[^a-z0-9_à-ÿ]+"
 
 
 @register(
@@ -1028,11 +1023,12 @@ def text_quality_filter(spark, sf_dir):
 def _langid_case_sql() -> str:
     """Argmax ladder over the language banks: lang i wins if its count is
     >= every later bank's count (ties break toward the earlier bank —
-    identical chain on both engines). Counts are token-set memberships over
-    the ONE shared token array."""
+    identical chain on both engines). Counts are \\b-delimited bank-regex
+    hits over the shared lowered text (Java and RE2 both implement \\b as
+    the ASCII word boundary, so the two engines count identically)."""
     counts = {
-        lang: "len(list_filter(w, x -> x IN ({})))".format(
-            ", ".join(f"'{word}'" for word in _STOPWORDS[lang])
+        lang: "len(regexp_extract_all(lt, '\\b({})\\b'))".format(
+            "|".join(_STOPWORDS[lang])
         )
         for lang in _LANG_ORDER
     }
@@ -1048,59 +1044,46 @@ def _langid_case_sql() -> str:
 
 @register(
     "text_langid",
-    f"""WITH toks AS (
-          SELECT doc_id, lang,
-                 string_split_regex(lower(text), '{_TOKEN_SPLIT}') AS w
-          FROM documents
+    f"""WITH low AS (
+          SELECT doc_id, lang, lower(text) AS lt FROM documents
         )
-        SELECT doc_id, lang, {_langid_case_sql()} AS pred_lang FROM toks""",
+        SELECT doc_id, lang, {_langid_case_sql()} AS pred_lang FROM low""",
 )
 def text_langid(spark, sf_dir):
     """Language ID: stopword-hit argmax over five language banks
     (en/pt/es/fr/de), same deterministic tie-break ladder as the oracle.
 
-    Shape: explode the single tokenize pass, LEFT-broadcast-join the 79-row
-    (stopword, bank) dim, partial-agg per-bank hit counts per doc. All three
-    steps live in ONE whole-stage-codegen span, and the map-side hash agg
-    collapses the exploded tokens back to one row per doc BEFORE the
-    exchange — the shuffle carries (doc_id, 5 ints), never tokens.
+    Shape: five \\b-bank-regex counts over one lowered-text projection —
+    a pure narrow codegen map, zero exchange, zero per-row allocation
+    beyond the regex matcher (the same construction text_quality's
+    stopword_ratio already uses). Java and RE2 both implement \\b as the
+    ASCII word boundary, so Spark and the DuckDB oracle count identically;
+    vs token-split membership, the boundary class is [A-Za-z0-9_] rather
+    than the Latin-1-extended token class — 'esta' inside 'estaño' counts
+    here and not there — an explicitly accepted langid-signal tradeoff.
 
-    Why not filter()+isin per bank (the round-2..3 form): higher-order
-    ArrayFilter is interpreted, and its per-token In-list evaluation
-    allocates per comparison — measured 5 ms CPU/doc, fully GC-bound (the
-    job burned all 32 hardware cores via GC threads even under local[8],
-    which also destroyed N-vs-4N scaling: wall time was pinned by GC
-    throughput, not task parallelism). The join form is a hash probe per
-    token inside codegen; a token in several banks (pt/es/fr all bank 'de')
-    multiplies join rows, which the per-bank conditional sums count
-    correctly — identical multiset semantics to the per-bank filters."""
+    Why not the alternatives (all measured on a 400k-doc corpus, 8 vs 32
+    pinned cores): token-explode + broadcast stopword-dim join + map-side
+    agg ran 95 s @ 8c and ANTI-SCALED to 113 s @ 32c — the 100M-row
+    explode's allocation rate saturates the shared heap's concurrent GC
+    exactly when all cores are busy, capping the whole curation record at
+    ~0.33 scaling efficiency; higher-order filter()+array_contains is
+    interpreted and similarly GC-bound (round-3 measurement: ~5 ms CPU/doc
+    of pure allocation); a custom-boundary lookaround regex replicating the
+    token class backtracks catastrophically (>12 min where \\b takes
+    seconds). This form: 21.8 s @ 8c -> 6.6 s @ 32c (0.83 efficiency,
+    17x faster than the join form at full socket).
+
+    NULL text: regex counts are NULL -> every ladder comparison is NULL ->
+    both engines fall through to the ELSE bank."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.col("text").isNull().alias("no_text"),
-        F.explode_outer(F.split(F.lower("text"), _TOKEN_SPLIT)).alias("tok"),
-    )
-    dim = spark.createDataFrame(
-        [(w, lang) for lang in _LANG_ORDER for w in _STOPWORDS[lang]],
-        "tok string, bank string",
-    )
-    counted = (
-        toks.join(F.broadcast(dim), "tok", "left")
-        .groupBy("doc_id", "lang", "no_text")
-        .agg(
-            *[
-                F.sum(
-                    F.when(F.col("bank") == lang, F.lit(1)).otherwise(F.lit(0))
-                ).alias(f"c_{lang}")
-                for lang in _LANG_ORDER
-            ]
-        )
-    )
-    # NULL text: the legacy array form yields NULL counts -> every ladder
-    # cond is NULL -> ELSE bank; mirror that exactly.
+    low = d.select("doc_id", "lang", F.lower("text").alias("lt"))
     counts = {
-        lang: F.when(~F.col("no_text"), F.col(f"c_{lang}"))
+        lang: F.size(
+            F.regexp_extract_all(
+                "lt", F.lit(r"\b(" + "|".join(_STOPWORDS[lang]) + r")\b"), 0
+            )
+        )
         for lang in _LANG_ORDER
     }
     pred = F.lit(_LANG_ORDER[-1])
@@ -1111,7 +1094,7 @@ def text_langid(spark, sf_dir):
             c = counts[lang] >= counts[later]
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, lang).otherwise(pred)
-    return counted.select("doc_id", "lang", pred.alias("pred_lang"))
+    return low.select("doc_id", "lang", pred.alias("pred_lang"))
 
 
 @register(
@@ -1740,9 +1723,17 @@ _DECON_BENCH_MOD = 97  # doc_id % 97 == 0 -> the held-out "benchmark" slice
 _GRAMS_SQL = f"""list_transform(
       range(1, greatest(len(l) - {_DECON_N - 1}, 0) + 1),
       i -> array_to_string(l[i:i+{_DECON_N - 1}], ' '))"""
+# gram strings via concat_ws(element_at...) rather than
+# array_join(slice(...)): slice allocates a fresh 3-element array per gram
+# before array_join builds the string — one dead allocation per gram, and
+# the gram build runs once per corpus token. Measured on a 400k-doc corpus
+# (~115M grams): 47 s -> 25 s at 32 pinned cores, 49 -> 44 s at 8. Same
+# strings, so the DuckDB-side _GRAMS_SQL is unchanged.
 _GRAMS_SPARK = (
     f"transform(sequence(1, greatest(size(l) - {_DECON_N - 1}, 0)), "
-    f"i -> array_join(slice(l, i, {_DECON_N}), ' '))"
+    "i -> concat_ws(' ', "
+    + ", ".join(f"element_at(l, i + {k})" for k in range(_DECON_N))
+    + "))"
 )
 
 
