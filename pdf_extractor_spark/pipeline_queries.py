@@ -713,38 +713,47 @@ def _emb_norm(c):
     return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def _hyperplane(tbl: int, p: int, dim: int):
-    """Deterministic md5-seeded random hyperplane (shared with
-    sim_ann_lsh_topk — same construction, parameterized).
+def _lsh_code(tbl: int, bits: int, dim: int, emb_col: str = "embedding"):
+    """Sign-bit code of ``emb_col`` against ``bits`` md5-seeded
+    deterministic hyperplanes (shared by sim_ann_lsh_topk and the
+    embedding-cluster LSH pair generator).
 
-    The md5→uint32→[−1,1) values are computed DRIVER-SIDE and shipped as a
-    single array literal: they are constants, and the expression-tree form
-    (conv(substring(md5(lit)))/2³¹−1 per component) put ~18k expression
-    nodes into one projection for 8×5×64 planes — pure Catalyst
-    analysis/codegen weight (measured 28 s for sim_ann_lsh_topk at sf0.01,
-    dominated by compile, not rows). Python's
+    The md5→uint32→[−1,1) plane components are computed DRIVER-SIDE and
+    shipped as array literals: they are constants, and the round-2
+    expression-tree form (conv(substring(md5(lit)))/2³¹−1 per component)
+    put ~18k expression nodes into one projection for 8×5×64 planes —
+    pure Catalyst analysis/codegen weight. Python's
     int(md5(s).hexdigest()[:8], 16)/2³¹−1 is bit-identical to the folded
-    SQL value, so plans, results, and the pinned recall tests are
-    unchanged — the plan just starts 40 Literal nodes instead."""
+    SQL value, so results and the pinned recall tests are unchanged.
+
+    Each table's code is ONE SQL expression rather than composed Column
+    lambdas: every zip_with/aggregate lambda costs several py4j
+    round-trips, and 8 tables × 5 planes of them put ~6 s of pure
+    driver-side DataFrame construction ahead of a sub-second job. repr()
+    round-trips the components exactly, so the parsed doubles match the
+    Column-API literals bit-for-bit."""
     import hashlib
 
-    vals = [
-        int(hashlib.md5(f"{tbl}_{p}_{i}".encode()).hexdigest()[:8], 16)
-        / 2**31
-        - 1.0
-        for i in range(dim)
-    ]
-    return F.lit(vals)
+    def plane_sql(p: int) -> str:
+        vals = ", ".join(
+            repr(
+                int(hashlib.md5(f"{tbl}_{p}_{i}".encode()).hexdigest()[:8], 16)
+                / 2**31
+                - 1.0
+            )
+            + "D"
+            for i in range(dim)
+        )
+        return f"array({vals})"
 
-
-def _lsh_code(tbl: int, bits: int, dim: int, emb_col: str = "embedding"):
-    """Sign-bit code of ``emb_col`` against ``bits`` hyperplanes."""
-    c = None
-    for p in range(bits):
-        dot = _emb_dot(F.col(emb_col), _hyperplane(tbl, p, dim))
-        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        c = bit if c is None else (c + bit)
-    return c
+    bits_sql = " + ".join(
+        "(CASE WHEN aggregate(zip_with({e}, {plane}, (a, b) -> a * b), "
+        "0D, (s, x) -> s + x) > 0D THEN {w} ELSE 0 END)".format(
+            e=emb_col, plane=plane_sql(p), w=1 << p
+        )
+        for p in range(bits)
+    )
+    return F.expr(bits_sql)
 
 
 def _emb_pairs_allpairs(e, threshold: float):
