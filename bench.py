@@ -254,7 +254,7 @@ def main() -> None:
         "docs_per_sec": round(ext["docs_per_sec"], 2),
         "extract_legs": ext.get("legs", []),
         "queries_extended": extended,
-        "timing": "best-of-2 per query and per extraction job (steady state)",
+        "timing": "best-of-2 per query, best-of-3 extraction legs (steady state)",
     }))
 
 

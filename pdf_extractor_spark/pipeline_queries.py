@@ -1008,24 +1008,32 @@ def text_quality_filter(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     n_words = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), 0))
     n_alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0))
-    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[.,;:!?]"), 0))
     mean_wl = n_alpha / F.greatest(n_words, F.lit(1))
     return (
-        d.select(
+        d.where(_quality_flag_col())
+        .select(
             "doc_id",
             n_words.alias("n_words"),
             F.round(mean_wl, 4).alias("mean_word_len"),
-            (n_punct / F.greatest(F.length("text"), F.lit(1))).alias("_pd"),
-            mean_wl.alias("_mwl"),
         )
-        .where(
-            (F.col("n_words") >= 20)
-            & (F.col("n_words") <= 100000)
-            & (F.col("_mwl") >= 2.0)
-            & (F.col("_mwl") <= 12.0)
-            & (F.col("_pd") <= 0.2)
-        )
-        .select("doc_id", "n_words", "mean_word_len")
+    )
+
+
+def _quality_flag_col(text_col: str = "text"):
+    """The Gopher-style gate as ONE boolean column over the raw text —
+    shared by text_quality_filter (as its WHERE) and the fused curation
+    record (as an in-row flag): single source of truth for the predicate."""
+    n_words = F.size(F.regexp_extract_all(text_col, F.lit(r"[A-Za-z]+"), 0))
+    n_alpha = F.size(F.regexp_extract_all(text_col, F.lit(r"[A-Za-z]"), 0))
+    n_punct = F.size(F.regexp_extract_all(text_col, F.lit(r"[.,;:!?]"), 0))
+    mean_wl = n_alpha / F.greatest(n_words, F.lit(1))
+    pd = n_punct / F.greatest(F.length(text_col), F.lit(1))
+    return (
+        (n_words >= 20)
+        & (n_words <= 100000)
+        & (mean_wl >= 2.0)
+        & (mean_wl <= 12.0)
+        & (pd <= 0.2)
     )
 
 
@@ -1087,10 +1095,16 @@ def text_langid(spark, sf_dir):
     both engines fall through to the ELSE bank."""
     d = t(spark, sf_dir, "documents")
     low = d.select("doc_id", "lang", F.lower("text").alias("lt"))
+    return low.select("doc_id", "lang", _langid_pred_col("lt").alias("pred_lang"))
+
+
+def _langid_pred_col(lt_col):
+    """The langid argmax ladder as ONE string column over lowered text —
+    shared by text_langid and the fused curation record."""
     counts = {
         lang: F.size(
             F.regexp_extract_all(
-                "lt", F.lit(r"\b(" + "|".join(_STOPWORDS[lang]) + r")\b"), 0
+                lt_col, F.lit(r"\b(" + "|".join(_STOPWORDS[lang]) + r")\b"), 0
             )
         )
         for lang in _LANG_ORDER
@@ -1103,7 +1117,7 @@ def text_langid(spark, sf_dir):
             c = counts[lang] >= counts[later]
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, lang).otherwise(pred)
-    return low.select("doc_id", "lang", pred.alias("pred_lang"))
+    return pred
 
 
 @register(
@@ -1514,7 +1528,12 @@ def corpus_split_assign(spark, sf_dir):
     data. Narrow per-row projection — no shuffle, no state; at 100 TB this
     is a free column on the scan."""
     d = t(spark, sf_dir, "documents")
-    bucket = (
+    return d.select("doc_id", _split_bucket_col().alias("bucket"),
+                    _split_col().alias("split"))
+
+
+def _split_bucket_col():
+    return (
         F.conv(
             F.substring(
                 F.md5(F.concat(F.col("doc_id").cast("string"),
@@ -1522,13 +1541,16 @@ def corpus_split_assign(spark, sf_dir):
             ), 16, 10
         ).cast("bigint") % 100
     )
-    return d.select(
-        "doc_id",
-        bucket.alias("bucket"),
+
+
+def _split_col():
+    """Salted-hash train/val/test assignment as ONE string column — shared
+    by corpus_split_assign and the fused curation record."""
+    bucket = _split_bucket_col()
+    return (
         F.when(bucket < SPLIT_TRAIN_PCT, "train")
         .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
         .otherwise("test")
-        .alias("split"),
     )
 
 
@@ -1696,27 +1718,38 @@ def dedup_keep_list(spark, sf_dir):
     jobs consume: `WHERE keep` is the training corpus.
 
     Scale shape: the component labels cover only clustered docs (a tiny
-    fraction of the corpus), so the assignment is a left join of the full
-    corpus against a small label relation; the keep pick is a row_number
-    window partitioned by cluster — near-dup clusters are small, so no
-    partition skew, and singletons are size-1 partitions. At 10^9 docs the
+    fraction of the corpus), so the window pick runs over ONLY those docs
+    — a singleton's keep is trivially true, so the full corpus never
+    enters the row_number exchange (it used to: partitioning by cluster_id
+    over all docs shuffled the whole corpus to pick winners in size-1
+    partitions). The corpus sees two narrow scans and two broadcast hash
+    joins; the only exchange carries the clustered slice. At 10^9 docs the
     label side stays broadcastable long after the corpus itself cannot
     shuffle."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    picks = _keep_picks(spark, sf_dir, d)
+    return d.join(F.broadcast(picks), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_rep"), F.col("doc_id")).alias("cluster_id"),
+        F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),
+    )
+
+
+def _keep_picks(spark, sf_dir, d):
+    """(doc_id, cluster_rep, keep) for CLUSTERED docs only — LSH pairs →
+    connected components → per-cluster longest-text/min-id winner. Small
+    (near-dup slice of the corpus), hence broadcastable; shared by
+    dedup_keep_list and the fused curation record."""
     pairs = dedup_minhash_bands(spark, sf_dir)
     comp = _connected_components(pairs, "doc_a", "doc_b").select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
     )
-    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    assigned = d.join(F.broadcast(comp), "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("cluster_rep"), F.col("doc_id")).alias("cluster_id"),
-        "n_chars",
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
+    clustered = d.select("doc_id", "n_chars").join(F.broadcast(comp), "doc_id")
+    w = Window.partitionBy("cluster_rep").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
     )
-    return assigned.select(
-        "doc_id", "cluster_id", (F.row_number().over(w) == 1).alias("keep")
+    return clustered.select(
+        "doc_id", "cluster_rep", (F.row_number().over(w) == 1).alias("keep")
     )
 
 
@@ -1783,6 +1816,20 @@ def corpus_decontaminate(spark, sf_dir):
     turns into a broadcast of the hit relation. At 13-grams with a hashed
     gram key the broadcast is a long[] bloom-style set; same plan."""
     d = t(spark, sf_dir, "documents")
+    out = (
+        d.where(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+        .select("doc_id")
+        .join(F.broadcast(_decon_hits(d)), "doc_id", "left")
+    )
+    n = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+    return out.select("doc_id", n.alias("n_hits"), (n > 0).alias("contaminated"))
+
+
+def _decon_hits(d):
+    """The small (doc_id, n_hits) relation of corpus docs sharing a word
+    n-gram with the benchmark slice — matched grams only ever shuffle, so
+    the relation stays broadcastable at corpus scale. Shared by
+    corpus_decontaminate and the fused curation record."""
     toks = d.select(
         "doc_id",
         F.expr("filter(split(lower(text), ' '), w -> w != '')").alias("l"),
@@ -1796,18 +1843,11 @@ def corpus_decontaminate(spark, sf_dir):
     corp_grams = corp.select(
         "doc_id", F.explode(F.array_distinct("grams")).alias("g")
     )
-    hits = (
+    return (
         corp_grams.join(F.broadcast(bench_grams), "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
-    out = (
-        d.where(F.col("doc_id") % _DECON_BENCH_MOD != 0)
-        .select("doc_id")
-        .join(F.broadcast(hits), "doc_id", "left")
-    )
-    n = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
-    return out.select("doc_id", n.alias("n_hits"), (n > 0).alias("contaminated"))
 
 
 _MIX_SALT = "mix:v1"  # versions the sampling decision, like _SPLIT_SALT
@@ -1847,11 +1887,18 @@ def corpus_sample_mixture(spark, sf_dir):
     (floor(p*2^32)) so the per-row compare is int-vs-int: no float
     round-trip reaches the decision."""
     d = t(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
-    tot = counts.agg(
-        F.sum("n_s").alias("n"), F.count("*").alias("s")
+    h = _mix_hash_col()
+    return d.join(F.broadcast(_mix_thresholds(d)), "source").select(
+        "doc_id", "source", (h < F.col("cutoff")).alias("keep")
     )
-    thresholds = counts.crossJoin(F.broadcast(tot)).select(
+
+
+def _mix_thresholds(d):
+    """The S-row (source, integer cutoff) relation corpus_sample_mixture
+    broadcasts — shared with the fused curation record."""
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = counts.agg(F.sum("n_s").alias("n"), F.count("*").alias("s"))
+    return counts.crossJoin(F.broadcast(tot)).select(
         "source",
         F.floor(
             F.least(
@@ -1862,10 +1909,10 @@ def corpus_sample_mixture(spark, sf_dir):
             * F.lit(4294967296.0)
         ).cast("bigint").alias("cutoff"),
     )
-    h = _h32(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_MIX_SALT}")))
-    return d.join(F.broadcast(thresholds), "source").select(
-        "doc_id", "source", (h < F.col("cutoff")).alias("keep")
-    )
+
+
+def _mix_hash_col():
+    return _h32(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_MIX_SALT}")))
 
 
 _PACK_BUDGET = 512  # tokens per training chunk
@@ -2143,58 +2190,49 @@ def corpus_curation_record(spark, sf_dir):
     `WHERE final_keep AND split = 'train'` is the training corpus; the
     other columns are the audit trail (why a doc was dropped). This is the
     artifact a pretraining pipeline actually materializes — the component
-    operators are its stages, composed here by doc_id equi-joins.
+    operators are its stages, FUSED here into one corpus scan.
 
-    Scale shape: every component relation is doc-keyed, so the composition
-    is a chain of same-key equi-joins — one partitioning serves all of
-    them (co-partition/bucket the doc key at 100 TB and the joins are
-    zero-exchange zips). No component is recomputed differently here: the
-    Spark side calls the registered functions, the oracle embeds the
-    registered SQL as derived tables — single source of truth on both
-    engines."""
+    Scale shape: the corpus text is read ONCE, and every per-doc gate —
+    quality predicate, langid ladder, split hash, mixture hash-vs-cutoff —
+    is an in-row column on that scan; the three relations a row can't
+    compute alone (the S-row mixture cutoffs, the matched-grams
+    decontamination hits, the clustered-slice keep picks) are
+    broadcast-sized side inputs hash-joined in with zero corpus shuffle.
+    The round-2 form composed the six REGISTERED operators by doc_id
+    equi-joins — 6 corpus scans and a doc-keyed exchange per gate; the
+    multi-executor scaling legs showed those exchanges dominating once
+    shuffles cross process boundaries. The oracle still embeds the six
+    registered component SQLs as derived tables, so the driver's hash gate
+    is exactly the proof that this fusion equals the composition."""
     d = t(spark, sf_dir, "documents")
-    q = text_quality_filter(spark, sf_dir).select(
-        "doc_id", F.lit(True).alias("quality_ok")
+    picks = _keep_picks(
+        spark, sf_dir, d.select("doc_id", "n_chars")
+    ).withColumnRenamed("keep", "_keep")
+    base = d.select(
+        "doc_id", "source", "text", F.lower("text").alias("lt")
     )
-    l = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
-    k = dedup_keep_list(spark, sf_dir).select(
-        "doc_id", "cluster_id", F.col("keep").alias("dedup_keep")
+    row = (
+        base.join(F.broadcast(_mix_thresholds(d)), "source")
+        .join(F.broadcast(_decon_hits(d)), "doc_id", "left")
+        .join(F.broadcast(picks), "doc_id", "left")
     )
-    m = corpus_sample_mixture(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("mix_keep")
-    )
-    c = corpus_decontaminate(spark, sf_dir).select(
-        "doc_id", "contaminated", F.lit(True).alias("_scored")
-    )
-    s = corpus_split_assign(spark, sf_dir).select("doc_id", "split")
-    out = (
-        d.select("doc_id")
-        .join(q, "doc_id", "left")
-        .join(l, "doc_id")
-        .join(k, "doc_id")
-        .join(m, "doc_id")
-        .join(c, "doc_id", "left")
-        .join(s, "doc_id")
-    )
-    quality_ok = F.coalesce(F.col("quality_ok"), F.lit(False))
-    scored = F.coalesce(F.col("_scored"), F.lit(False))
-    contaminated = F.coalesce(F.col("contaminated"), F.lit(False))
-    return out.select(
+    quality_ok = F.coalesce(_quality_flag_col(), F.lit(False))
+    scored = F.col("doc_id") % _DECON_BENCH_MOD != 0
+    contaminated = scored & (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
+    dedup_keep = F.coalesce(F.col("_keep"), F.lit(True))
+    mix_keep = _mix_hash_col() < F.col("cutoff")
+    return row.select(
         "doc_id",
         quality_ok.alias("quality_ok"),
-        "pred_lang",
-        "cluster_id",
-        "dedup_keep",
-        "mix_keep",
+        _langid_pred_col("lt").alias("pred_lang"),
+        F.coalesce(F.col("cluster_rep"), F.col("doc_id")).alias("cluster_id"),
+        dedup_keep.alias("dedup_keep"),
+        mix_keep.alias("mix_keep"),
         (~scored).alias("is_benchmark"),
         contaminated.alias("contaminated"),
-        "split",
+        _split_col().alias("split"),
         (
-            quality_ok
-            & F.col("dedup_keep")
-            & F.col("mix_keep")
-            & scored
-            & ~contaminated
+            quality_ok & dedup_keep & mix_keep & scored & ~contaminated
         ).alias("final_keep"),
     )
 

@@ -77,12 +77,14 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def run_leg(cpus: int, n_docs: int) -> dict:
+def run_leg(cpus: int, n_docs: int, cluster: bool = False) -> dict:
     from pdf_extractor_spark.pipeline import build_session
     from pdf_extractor_spark.pipeline_queries import corpus_curation_record
 
+    # cluster mode: the master comes from spark-submit (local-cluster[E,C,m]
+    # — E real executor JVMs); build_session(master=None) inherits it.
     spark = build_session(
-        master=f"local[{cpus}]", shuffle_partitions=cpus,
+        master=None if cluster else f"local[{cpus}]", shuffle_partitions=cpus,
         app_name=f"curation-scaling-{cpus}",
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -105,22 +107,67 @@ def run_leg(cpus: int, n_docs: int) -> dict:
         best = elapsed if best is None else min(best, elapsed)
         spark.catalog.clearCache()
     spark.stop()
-    return {
+    row = {
         "op": "corpus_curation_record", "n_docs": n_docs, "cpus": cpus,
         "seconds": round(best, 3), "docs_per_sec": round(n_docs / best, 2),
         "legs": legs,
     }
+    if cluster:
+        row["executors"] = cpus // CLUSTER_CORES_PER_EXEC
+        row["cores_per_executor"] = CLUSTER_CORES_PER_EXEC
+    return row
+
+
+CLUSTER_CORES_PER_EXEC = int(os.environ.get("CLUSTER_CORES_PER_EXEC", "4"))
+CLUSTER_EXEC_MEM_MB = int(os.environ.get("CLUSTER_EXEC_MEM_MB", "6144"))
+
+
+def run_cluster_leg(executors: int, n_docs: int) -> dict:
+    """One timed leg in the north rule's literal deployment shape:
+    spark-submit --py-files engine.zip --master local-cluster[E,C,mem] —
+    E separate executor JVMs, each with its own heap, GC and Python
+    workers (see tools/cluster_scaling.py for the extraction twin)."""
+    zip_path = "/tmp/engine.zip"
+    if os.path.exists(zip_path):
+        os.remove(zip_path)
+    subprocess.run(
+        ["zip", "-qr", zip_path, "pdf_extractor_spark", "-x", "*__pycache__*"],
+        cwd=REPO, check=True,
+    )
+    cores = executors * CLUSTER_CORES_PER_EXEC
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        "spark-submit",
+        "--master", f"local-cluster[{executors},{CLUSTER_CORES_PER_EXEC},{CLUSTER_EXEC_MEM_MB}]",
+        "--py-files", zip_path,
+        "--conf", "spark.driver.memory=4g",
+        "--conf", f"spark.executor.memory={CLUSTER_EXEC_MEM_MB - 1024}m",
+        "--conf", f"spark.sql.shuffle.partitions={cores}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.python.worker.reuse=true",
+        "--conf", "spark.executor.extraJavaOptions=-XX:+UseZGC",
+        os.path.abspath(__file__),
+        "--leg", "--cluster", "--cpus", str(cores), "--n-docs", str(n_docs),
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    if res.returncode != 0:
+        sys.stderr.write(res.stderr[-4000:])
+        raise SystemExit(f"cluster leg executors={executors} failed")
+    line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--leg", action="store_true")
+    ap.add_argument("--cluster", action="store_true")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--n-docs", type=int, default=N_DOCS)
     args = ap.parse_args()
 
     if args.leg:
-        print(json.dumps(run_leg(args.cpus, args.n_docs)))
+        print(json.dumps(run_leg(args.cpus, args.n_docs, cluster=args.cluster)))
         return
 
     # materialize the corpus once (any session), then time each leg in a
@@ -131,6 +178,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ensure_corpus(spark, args.n_docs)
     spark.stop()
+
+    if args.cluster:
+        # multi-EXECUTOR legs: 2 and 8 executor JVMs × 4 cores = the same
+        # 8-vs-32-core octave as the thread legs, but with independent
+        # heaps/GC/Python workers per executor (the real-cluster topology)
+        results = {}
+        for execs in (LEGS[0] // CLUSTER_CORES_PER_EXEC,
+                      LEGS[1] // CLUSTER_CORES_PER_EXEC):
+            results[execs * CLUSTER_CORES_PER_EXEC] = row = run_cluster_leg(
+                execs, args.n_docs)
+            with open(RUNS_LOG, "a") as f:
+                f.write(json.dumps(row) + "\n")
+        n, n4 = LEGS
+        speedup = results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]
+        print(json.dumps({
+            "legs": results,
+            "octave": {"n": n, "4n": n4, "speedup": round(speedup, 3),
+                       "efficiency": round(speedup / (n4 // n), 3),
+                       "topology": "local-cluster multi-executor"},
+        }))
+        return
 
     results = {}
     for cpus in LEGS:
