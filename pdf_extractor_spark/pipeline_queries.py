@@ -1772,10 +1772,16 @@ _GRAMS_SQL = f"""list_transform(
 # (~115M grams): 47 s -> 25 s at 32 pinned cores, 49 -> 44 s at 8. Same
 # strings, so the DuckDB-side _GRAMS_SQL is unchanged.
 _GRAMS_SPARK = (
-    f"transform(sequence(1, greatest(size(l) - {_DECON_N - 1}, 0)), "
+    # guard the short-doc case explicitly: Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0] (DuckDB's range(1, 1) is empty), so an unguarded
+    # greatest(size-2, 0) bound makes any doc with < _DECON_N tokens hit
+    # element_at past the array end — an ANSI-mode job kill, caught by
+    # test_curation_record_fusion_equals_composition's 1-token doc
+    f"CASE WHEN size(l) >= {_DECON_N} THEN "
+    f"transform(sequence(1, size(l) - {_DECON_N - 1}), "
     "i -> concat_ws(' ', "
     + ", ".join(f"element_at(l, i + {k})" for k in range(_DECON_N))
-    + "))"
+    + ")) ELSE array() END"
 )
 
 

@@ -251,3 +251,97 @@ def test_pack_chunks_empty_doc_occupies_one_position(spark, tmp_path):
     rows = {r["doc_id"]: r for r in corpus_pack_chunks(spark, sf).collect()}
     assert rows[0]["n_tok"] == 0
     assert rows[0]["start_chunk"] == rows[0]["end_chunk"] == 0
+
+
+def test_curation_record_fusion_equals_composition(spark, tmp_path):
+    """The fused single-scan record is row-for-row identical to the
+    composed form (the six component operators joined by doc_id — the
+    round-2 plan shape the oracle still encodes) on a corpus with real
+    near-dup clusters, a benchmark slice, quality failures, and a skewed
+    source mix — every gate exercised in both truth values."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.pipeline_queries import (
+        corpus_curation_record,
+        corpus_decontaminate,
+        corpus_sample_mixture,
+        corpus_split_assign,
+        dedup_keep_list,
+        text_langid,
+        text_quality_filter,
+    )
+
+    def words(seed, n):
+        return " ".join(
+            "word%d" % (int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16) % 97)
+            for i in range(n)
+        )
+
+    rows = []
+    for i in range(120):
+        base = i - 9 if i % 10 == 9 else i  # every 10th near-dups an earlier doc
+        text = words(base, 40 + base % 30)
+        if i % 10 == 9:
+            text += " tail%d" % i
+        if i % 17 == 0:
+            text = "short"  # fails the quality length gate
+        rows.append((i, text, "en", "src%d" % (i % 5 if i < 90 else 4), len(text)))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    q = text_quality_filter(spark, sf).select("doc_id", F.lit(True).alias("quality_ok"))
+    l = text_langid(spark, sf).select("doc_id", "pred_lang")
+    k = dedup_keep_list(spark, sf).select(
+        "doc_id", "cluster_id", F.col("keep").alias("dedup_keep")
+    )
+    m = corpus_sample_mixture(spark, sf).select("doc_id", F.col("keep").alias("mix_keep"))
+    c = corpus_decontaminate(spark, sf).select(
+        "doc_id", "contaminated", F.lit(True).alias("_scored")
+    )
+    s = corpus_split_assign(spark, sf).select("doc_id", "split")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    joined = (
+        docs.select("doc_id")
+        .join(q, "doc_id", "left")
+        .join(l, "doc_id")
+        .join(k, "doc_id")
+        .join(m, "doc_id")
+        .join(c, "doc_id", "left")
+        .join(s, "doc_id")
+    )
+    quality_ok = F.coalesce(F.col("quality_ok"), F.lit(False))
+    scored = F.coalesce(F.col("_scored"), F.lit(False))
+    contaminated = F.coalesce(F.col("contaminated"), F.lit(False))
+    composed = joined.select(
+        "doc_id",
+        quality_ok.alias("quality_ok"),
+        "pred_lang",
+        "cluster_id",
+        "dedup_keep",
+        "mix_keep",
+        (~scored).alias("is_benchmark"),
+        contaminated.alias("contaminated"),
+        "split",
+        (
+            quality_ok & F.col("dedup_keep") & F.col("mix_keep")
+            & scored & ~contaminated
+        ).alias("final_keep"),
+    )
+
+    got = sorted(map(tuple, corpus_curation_record(spark, sf).collect()))
+    want = sorted(map(tuple, composed.collect()))
+    assert got == want
+    # sanity: the corpus actually exercises every gate both ways
+    by = {r[0]: r for r in got}
+    assert any(not r[1] for r in got) and any(r[1] for r in got)      # quality
+    assert any(not r[4] for r in got)                                  # dedup loser
+    assert any(r[6] for r in got) and any(not r[6] for r in got)       # benchmark
+    assert any(r[7] for r in got)                                      # contaminated
+    assert len({r[8] for r in got}) == 3                               # all splits
+    assert by[0][6] and not by[0][9]  # doc 0: benchmark slice, never kept
