@@ -289,6 +289,14 @@ def test_curation_record_fusion_equals_composition(spark, tmp_path):
         if i % 17 == 0:
             text = "short"  # fails the quality length gate
         rows.append((i, text, "en", "src%d" % (i % 5 if i < 90 else 4), len(text)))
+    # degenerate rows: the short-doc / NULL class that crashed the
+    # unguarded gram window (Spark's descending sequence(1, 0))
+    rows += [
+        (120, None, "en", "src0", 0),
+        (121, "", "en", "src1", 0),
+        (122, "lone", "en", "src2", 4),
+        (123, "two words", "en", "src3", 9),
+    ]
     sf = str(tmp_path / "sf")
     os.makedirs(sf, exist_ok=True)
     spark.createDataFrame(

@@ -71,3 +71,78 @@ def test_windowed_counts_match_batch_for_closed_windows(spark, tmp_path, sf_dir)
     ).where((F.col("b.n").isNull()) | (F.col("g.n") != F.col("b.n")))
     assert mismatches.count() == 0
     assert got.count() <= batch.count()
+
+
+def test_streaming_curation_gates_match_batch_and_dedup_survives_restart(
+    spark, tmp_path
+):
+    """The streaming curation feed emits one decision row per distinct
+    text with gate flags bit-identical to the batch record's for the
+    corresponding docs, and its dedup state survives a stream restart."""
+    import hashlib
+
+    from pdf_extractor_spark.pipeline_queries import corpus_curation_record
+    from pdf_extractor_spark.streaming.curation import run_curation_stream
+
+    def words(seed, n):
+        return " ".join(
+            "word%d"
+            % (int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16) % 89)
+            for i in range(n)
+        )
+
+    rows = []
+    for i in range(80):
+        text = words(i, 25 + i % 20)
+        if i % 9 == 8:
+            text = words(i - 8, 25 + (i - 8) % 20)  # exact dup of doc i-8
+        if i % 13 == 0:
+            text = "tiny"  # quality failure + short-doc gram edge
+        rows.append((i, text, "en", "src%d" % (i % 4), len(text)))
+    rows.append((80, None, "en", "src0", 0))  # NULL text flows, hashes empty
+    sf = str(tmp_path / "sf")
+    docs_dir = os.path.join(sf, "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.parquet(docs_dir)
+    out_dir = str(tmp_path / "out")
+
+    run_curation_stream(spark, docs_dir, out_dir)
+    got = spark.read.parquet(os.path.join(out_dir, "curated"))
+    g = {r["doc_id"]: r for r in got.collect()}
+
+    # one row per DISTINCT text (first-seen, min doc_id representative)
+    assert got.count() == got.select("content_hash").distinct().count()
+    # dup pair (17 duplicates 9): the copy is dropped, the original kept
+    # (doc 8's nominal original, doc 0, was replaced by the quality text,
+    # so 8 is legitimately distinct)
+    assert 17 not in g and 9 in g
+
+    # gate flags match the batch record bit-for-bit on the emitted docs
+    batch = {
+        r["doc_id"]: r
+        for r in corpus_curation_record(spark, sf).collect()
+    }
+    assert g, "stream emitted nothing"
+    for doc_id, r in g.items():
+        b = batch[doc_id]
+        assert (r["quality_ok"], r["pred_lang"], r["split"], r["mix_keep"]) == (
+            b["quality_ok"], b["pred_lang"], b["split"], b["mix_keep"]
+        ), doc_id
+        assert r["contaminated"] == b["contaminated"], doc_id
+        # stream final_keep has no near-dup/cluster term: quality∧mix∧¬cont
+        assert r["final_keep"] == (
+            r["quality_ok"] and r["mix_keep"] and not r["contaminated"]
+        )
+
+    # restart: replay every old text plus one genuinely new doc — state
+    # holds, only the new text is emitted
+    extra = [(200, words(777, 30), "en", "src1", 1)]
+    spark.createDataFrame(
+        rows + extra,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    run_curation_stream(spark, docs_dir, out_dir)
+    got2 = spark.read.parquet(os.path.join(out_dir, "curated"))
+    assert got2.count() == got.count() + 1
+    assert got2.where(F.col("doc_id") == 200).count() == 1
