@@ -9,6 +9,7 @@ oracles compute bit-identical values."""
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -258,6 +259,43 @@ def dedup_clusters(spark, sf_dir):
 # the O(log n)-round star algorithm instead of propagating to the horizon.
 _PROP_ROUND_LIMIT = 10
 
+# Edge-count ceiling for the driver union-find fast path. A near-dup edge
+# list under this size is dim-sized (two BIGINTs per row, ≤ ~16 MB), and
+# the distributed loop's per-round job latency (localCheckpoint + scalar,
+# 2 jobs/round) costs more wall time than one collect + linear union-find.
+# Above it, the distributed propagation/star path runs unchanged — the
+# guard makes the small case cheap without capping the big one.
+_CC_DRIVER_EDGE_LIMIT = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "1000000"))
+
+
+def _cc_driver(spark, edge_rows):
+    """Union-find over a collected dim-sized edge list → (id, label) rows
+    with label = component min. Path-halving + union-by-min keeps the
+    forest flat; the result ships back as an ordinary DataFrame (small:
+    clustered docs only), so downstream broadcast joins are unchanged."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min so every root IS its component's min label
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(rows, "id bigint, label bigint")
+
 
 def _edge_signature(e):
     """(row count, order-insensitive hash sum) — one tiny row to the driver;
@@ -343,9 +381,16 @@ def _connected_components_star(pairs, a_col: str, b_col: str):
 
 
 def _connected_components(pairs, a_col: str, b_col: str):
-    """Min-label propagation over an undirected pair graph → (id, label)
-    with label = the component's min node id. One join + grouped min per
-    round; the strictly-decreasing label sum is the convergence scalar.
+    """Connected components over an undirected pair graph → (id, label)
+    with label = the component's min node id. Three paths behind one
+    dispatcher, cheapest first: a dim-sized edge list (≤
+    _CC_DRIVER_EDGE_LIMIT) collects once and union-finds on the driver —
+    the same dim-sized-collect budget the KB loads spend — because at
+    that size the distributed loop's 2-jobs-per-round latency costs more
+    than the answer; larger graphs run min-label propagation (one join +
+    grouped min per round, strictly-decreasing label sum as the
+    convergence scalar); and a component whose diameter exceeds
+    _PROP_ROUND_LIMIT trips to the O(log n) star algorithm.
 
     ``edges`` is persisted for the life of the loop: every round joins it,
     and without the cache each round (plus the convergence scalar) would
@@ -374,6 +419,15 @@ def _connected_components(pairs, a_col: str, b_col: str):
         )
         .persist()
     )
+    # materialize the cache once and read off the size: a dim-sized edge
+    # list union-finds on the driver in one collect instead of paying
+    # 2 job round-trips per propagation round
+    n_directed = edges.count()
+    if n_directed <= 2 * _CC_DRIVER_EDGE_LIMIT:
+        rows = [(r["s"], r["d"]) for r in edges.collect()]
+        out = _cc_driver(edges.sparkSession, rows)
+        edges.unpersist()
+        return out
     labels = edges.select(F.col("s").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )

@@ -106,37 +106,39 @@ def _label_set(df):
     return {(r["id"], r["label"]) for r in df.collect()}
 
 
-def test_star_cc_equals_propagation_on_random_graph(spark):
-    """large-star/small-star must compute the same (node -> component min)
-    map as min-label propagation on an arbitrary undirected graph."""
+def test_star_cc_equals_propagation_on_random_graph(spark, monkeypatch):
+    """All three component paths — driver union-find (small-graph fast
+    path), min-label propagation, large-star/small-star — must compute the
+    same (node -> component min) map on an arbitrary undirected graph."""
     import random
 
-    from pdf_extractor_spark.pipeline_queries import (
-        _connected_components, _connected_components_star,
-    )
+    import pdf_extractor_spark.pipeline_queries as pq
 
     rng = random.Random(11)
     edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
     edges = [(a, b) for a, b in edges if a != b]
     pairs = spark.createDataFrame(edges, "a long, b long")
-    prop = _label_set(_connected_components(pairs, "a", "b"))
-    star = _label_set(_connected_components_star(pairs, "a", "b"))
-    assert star == prop
+    driver = _label_set(pq._connected_components(pairs, "a", "b"))
+    monkeypatch.setattr(pq, "_CC_DRIVER_EDGE_LIMIT", 0)  # force distributed
+    prop = _label_set(pq._connected_components(pairs, "a", "b"))
+    star = _label_set(pq._connected_components_star(pairs, "a", "b"))
+    assert star == prop == driver
 
 
-def test_star_cc_chain_and_dispatch(spark):
+def test_star_cc_chain_and_dispatch(spark, monkeypatch):
     """A 60-node chain (diameter 59) exceeds the propagation round cap, so
-    _connected_components must dispatch to the star algorithm and still
-    return the exact fixpoint: every node labeled 0."""
-    from pdf_extractor_spark.pipeline_queries import (
-        _PROP_ROUND_LIMIT, _connected_components, _connected_components_star,
-    )
+    _connected_components (forced past the driver fast path) must dispatch
+    to the star algorithm and still return the exact fixpoint: every node
+    labeled 0. The driver path must agree."""
+    import pdf_extractor_spark.pipeline_queries as pq
 
     n = 60
-    assert n - 1 > _PROP_ROUND_LIMIT
+    assert n - 1 > pq._PROP_ROUND_LIMIT
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "a long, b long"
     )
     want = {(i, 0) for i in range(n)}
-    assert _label_set(_connected_components_star(pairs, "a", "b")) == want
-    assert _label_set(_connected_components(pairs, "a", "b")) == want
+    assert _label_set(pq._connected_components(pairs, "a", "b")) == want
+    monkeypatch.setattr(pq, "_CC_DRIVER_EDGE_LIMIT", 0)  # force distributed
+    assert _label_set(pq._connected_components_star(pairs, "a", "b")) == want
+    assert _label_set(pq._connected_components(pairs, "a", "b")) == want
