@@ -100,17 +100,20 @@ def dir_bytes(path: str) -> int:
 
 
 def run_extract(spark, corpus_path: str, partitions: int) -> dict:
-    """Best-of-3 full extraction jobs, each into a fresh output dir —
+    """Best-of-4 full extraction jobs, each into a fresh output dir —
     steady-state throughput (the first leg pays codegen + Arrow worker
-    spin-up; a cluster job amortizes those over hours). Three legs because
-    identical code measures 5-9 s run-to-run in this sandbox (interleaved
-    A/B against the round-2 commit showed the swing is environmental, not
-    code): the minimum over three is a steadier floor estimate."""
+    spin-up; a cluster job amortizes those over hours). Multiple legs
+    because identical code measures 5-9 s run-to-run in this sandbox
+    (interleaved A/B against the round-2 commit showed the swing is
+    environmental, not code), and when the child JVM starts right after
+    the query phase the first 1-2 legs additionally inherit OS-level
+    residue (solo legs start at ~7 s; post-query first legs at ~30 s):
+    the minimum over four is a steadier floor estimate."""
     from pdf_extractor_spark.pipeline import run_extraction_job
 
     best = None
     legs = []
-    for _ in range(3):
+    for _ in range(4):
         out_dir = tempfile.mkdtemp(prefix="bench_extract_")
         try:
             t0 = time.time()
@@ -254,7 +257,7 @@ def main() -> None:
         "docs_per_sec": round(ext["docs_per_sec"], 2),
         "extract_legs": ext.get("legs", []),
         "queries_extended": extended,
-        "timing": "best-of-2 per query, best-of-3 extraction legs (steady state)",
+        "timing": "best-of-2 per query, best-of-4 extraction legs (steady state)",
     }))
 
 
