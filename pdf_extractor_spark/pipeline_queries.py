@@ -293,8 +293,13 @@ def _cc_driver(spark, edge_rows):
             # union by min so every root IS its component's min label
             lo, hi = (ru, rv) if ru < rv else (rv, ru)
             parent[hi] = lo
-    rows = [(x, find(x)) for x in parent]
-    return spark.createDataFrame(rows, "id bigint, label bigint")
+    if not parent:
+        return spark.createDataFrame([], "id bigint, label bigint")
+    # ship back via Arrow (one batch), not the py4j row-by-row path — at
+    # the 1M-edge ceiling this is ~2M rows
+    ids = list(parent)
+    out = pd.DataFrame({"id": ids, "label": [find(x) for x in ids]})
+    return spark.createDataFrame(out.astype("int64"))
 
 
 def _edge_signature(e):
