@@ -429,8 +429,10 @@ def _connected_components(pairs, a_col: str, b_col: str):
     # 2 job round-trips per propagation round
     n_directed = edges.count()
     if n_directed <= 2 * _CC_DRIVER_EDGE_LIMIT:
-        rows = [(r["s"], r["d"]) for r in edges.collect()]
-        out = _cc_driver(edges.sparkSession, rows)
+        # Arrow transport (one batch off the cache), not py4j Row objects —
+        # at the ceiling this is ~2M rows
+        pdf = edges.toPandas()
+        out = _cc_driver(edges.sparkSession, zip(pdf["s"], pdf["d"]))
         edges.unpersist()
         return out
     labels = edges.select(F.col("s").alias("id")).distinct().withColumn(
@@ -1086,13 +1088,13 @@ def _quality_flag_col(text_col: str = "text"):
     n_alpha = F.size(F.regexp_extract_all(text_col, F.lit(r"[A-Za-z]"), 0))
     n_punct = F.size(F.regexp_extract_all(text_col, F.lit(r"[.,;:!?]"), 0))
     mean_wl = n_alpha / F.greatest(n_words, F.lit(1))
-    pd = n_punct / F.greatest(F.length(text_col), F.lit(1))
+    punct_density = n_punct / F.greatest(F.length(text_col), F.lit(1))
     return (
         (n_words >= 20)
         & (n_words <= 100000)
         & (mean_wl >= 2.0)
         & (mean_wl <= 12.0)
-        & (pd <= 0.2)
+        & (punct_density <= 0.2)
     )
 
 

@@ -70,20 +70,11 @@ _OUT_COLS = [f.name for f in CURATION_OUT_SCHEMA.fields]
 def _first_seen_fn(
     key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Emit the min-doc_id row for an unseen content hash; drop the rest.
-    Same protocol as stateful.dedup_fn — the representative is
-    deterministic across batch/chunk boundaries."""
-    if state.exists:
-        for _ in pdfs:
-            pass
-        return
-    first = None
-    for pdf in pdfs:
-        if len(pdf):
-            cand = pdf.sort_values("doc_id").iloc[[0]]
-            if first is None or cand["doc_id"].iloc[0] < first["doc_id"].iloc[0]:
-                first = cand
-    state.update((True,))
+    """Emit the min-doc_id row for an unseen content hash; drop the rest
+    (the shared first-seen protocol from streaming.stateful)."""
+    from pdf_extractor_spark.streaming.stateful import first_seen_min_doc
+
+    first = first_seen_min_doc(pdfs, state)
     if first is not None:
         yield first[_OUT_COLS]
 
@@ -118,9 +109,13 @@ def curation_stream(
     )
     # constant-key equi-join instead of crossJoin: stream-static CROSS
     # joins are rejected by the streaming planner, but a stream-static
-    # inner equi-join on a literal key broadcasts identically
+    # inner equi-join on a literal key broadcasts identically. The
+    # thresholds join is LEFT so a source that appears in the stream but
+    # not in the policy snapshot (a crawl adding a source mid-stream)
+    # still emits its audit row — with mix_keep false (no quota assigned)
+    # rather than silently vanishing from the curated output.
     gated = (
-        base.join(F.broadcast(thresholds), "source")
+        base.join(F.broadcast(thresholds), "source", "left")
         .withColumn("_k", F.lit(1))
         .join(F.broadcast(bench_row.withColumn("_k", F.lit(1))), "_k")
         .select(
@@ -130,7 +125,9 @@ def curation_stream(
             F.coalesce(_quality_flag_col(), F.lit(False)).alias("quality_ok"),
             _langid_pred_col("lt").alias("pred_lang"),
             _split_col().alias("split"),
-            (_mix_hash_col() < F.col("cutoff")).alias("mix_keep"),
+            F.coalesce(_mix_hash_col() < F.col("cutoff"), F.lit(False)).alias(
+                "mix_keep"
+            ),
             F.coalesce(
                 F.arrays_overlap(F.expr(_GRAMS_SPARK), F.col("bench_grams")),
                 F.lit(False),

@@ -44,26 +44,33 @@ DEDUP_OUT_SCHEMA = StructType(
 DEDUP_STATE_SCHEMA = StructType([StructField("seen", BooleanType())])
 
 
-def _dedup_fn(
-    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Emit the first row for an unseen hash; drop everything else."""
+def first_seen_min_doc(pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """The shared first-seen protocol: None if this key's hash was
+    committed in an earlier batch (input drained, nothing to emit); else
+    the min-doc_id row across ALL Arrow chunks — a large duplicate group
+    spans multiple chunks, so tracking the min across every chunk keeps
+    the representative deterministic regardless of batch/chunk boundaries
+    — with the key marked seen. Used by the dedup stream and the curation
+    stream."""
     if state.exists:
-        # hash committed in an earlier batch — consume and emit nothing
         for _ in pdfs:
             pass
-        return
+        return None
     first = None
     for pdf in pdfs:
-        # a large duplicate group spans multiple Arrow chunks: track the
-        # min doc_id across ALL of them, not just the first non-empty
-        # chunk, so the representative is deterministic regardless of
-        # batch/chunk boundaries
         if len(pdf):
             cand = pdf.sort_values("doc_id").iloc[[0]]
             if first is None or cand["doc_id"].iloc[0] < first["doc_id"].iloc[0]:
                 first = cand
     state.update((True,))
+    return first
+
+
+def _dedup_fn(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit the first row for an unseen hash; drop everything else."""
+    first = first_seen_min_doc(pdfs, state)
     if first is not None:
         yield pd.DataFrame(
             {

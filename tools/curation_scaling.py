@@ -180,14 +180,20 @@ def main() -> None:
     spark.stop()
 
     if args.cluster:
-        # multi-EXECUTOR legs: 2 and 8 executor JVMs × 4 cores = the same
-        # 8-vs-32-core octave as the thread legs, but with independent
-        # heaps/GC/Python workers per executor (the real-cluster topology)
+        # multi-EXECUTOR legs: the same 8-vs-32-core octave as the thread
+        # legs, but with independent heaps/GC/Python workers per executor
+        # (the real-cluster topology). Leg core counts must be a multiple
+        # of the executor size or the lookup below would miskey AFTER the
+        # expensive legs already ran.
+        for cores in LEGS:
+            assert cores % CLUSTER_CORES_PER_EXEC == 0 and cores > 0, (
+                f"LEGS {LEGS} not divisible by "
+                f"CLUSTER_CORES_PER_EXEC={CLUSTER_CORES_PER_EXEC}"
+            )
         results = {}
-        for execs in (LEGS[0] // CLUSTER_CORES_PER_EXEC,
-                      LEGS[1] // CLUSTER_CORES_PER_EXEC):
-            results[execs * CLUSTER_CORES_PER_EXEC] = row = run_cluster_leg(
-                execs, args.n_docs)
+        for cores in LEGS:
+            results[cores] = row = run_cluster_leg(
+                cores // CLUSTER_CORES_PER_EXEC, args.n_docs)
             with open(RUNS_LOG, "a") as f:
                 f.write(json.dumps(row) + "\n")
         n, n4 = LEGS
