@@ -72,19 +72,41 @@ def dedup_exact(spark, sf_dir):
 
 
 @register(
-    "dedup_minhash_signature",
+    "dedup_signatures",
     f"""WITH words AS (
           SELECT d.doc_id,
                  {_h32_sql("u.word")} % {_MINHASH_P} AS h
           FROM documents d,
                unnest(list_distinct(string_split(lower(d.text), ' '))) u(word)
           WHERE u.word <> ''
-        )
+        ), mh AS (
         SELECT doc_id,
                {", ".join(f"min({_perm_sql('h', k)}) AS mh_{k + 1}" for k in range(8))}
-        FROM words GROUP BY doc_id""",
+        FROM words GROUP BY doc_id
+        ), simwords AS (
+          SELECT d.doc_id, {_h32_sql("u.word")} AS h FROM documents d,
+               unnest(string_split(lower(d.text), ' ')) u(word)
+          WHERE u.word <> ''
+        ), sim AS (
+        SELECT doc_id,
+          {" + ".join(f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))}
+          AS simhash16
+        FROM simwords GROUP BY doc_id
+        )
+        SELECT mh.*, sim.simhash16 FROM mh JOIN sim USING (doc_id)""",
 )
-def dedup_minhash_signature(spark, sf_dir):
+def dedup_signatures(spark, sf_dir):
+    """Per-document dedup signatures — MinHash (k=8) + SimHash (16-bit) in
+    one registry entry (merged to keep the registry under the driver's
+    50-entry sweep cap; each signature keeps its own implementation below
+    and they join on doc_id — both sides are partial-agg shapes, so the
+    join keys are already doc-hashed (doc, ints) rows, never text)."""
+    mh = _minhash_signature_df(spark, sf_dir)
+    sim = _simhash_df(spark, sf_dir)
+    return mh.join(sim, "doc_id")
+
+
+def _minhash_signature_df(spark, sf_dir):
     """MinHash signatures (k=8, one md5 + universal-hash permutations):
     shingle→minhash. Explode + grouped min — partial agg makes the shuffle
     carry only (doc, 8×int) rows regardless of document size."""
@@ -250,6 +272,24 @@ def dedup_clusters(spark, sf_dir):
     return _connected_components(pairs, "doc_a", "doc_b").select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
     )
+
+
+# Forced-broadcast row ceiling for relations that are only *usually*
+# dim-sized (component labels, keep picks, decontamination hits). On this
+# synthetic corpus they are thousands of rows; on a real web crawl near-dup
+# rates run 30-50%, so at 10^9 docs the picks relation is ~10^8 rows and an
+# unconditional F.broadcast hint is a driver OOM, not a slow plan. Below
+# the ceiling (~4M rows ≈ 100 MB built table) the hint keeps the measured
+# broadcast plan; above it the relation goes UNHINTED and AQE chooses
+# broadcast-vs-shuffle from runtime stats — the join keys are doc_id, so
+# the shuffle-hash fallback is clean.
+_BROADCAST_ROW_LIMIT = int(os.environ.get("SPARK_GRAFT_BROADCAST_ROWS", "4000000"))
+
+
+def _hint_if_dim(df, n_rows: int):
+    """Broadcast-hint `df` only when its KNOWN row count is dim-sized;
+    otherwise return it unhinted and let AQE decide at runtime."""
+    return F.broadcast(df) if n_rows <= _BROADCAST_ROW_LIMIT else df
 
 
 # Min-label propagation costs one join + one grouped min per round but
@@ -478,22 +518,11 @@ def _connected_components(pairs, a_col: str, b_col: str):
     return labels
 
 
-@register(
-    "dedup_simhash",
-    f"""WITH words AS (
-          SELECT d.doc_id, {_h32_sql("u.word")} AS h FROM documents d,
-               unnest(string_split(lower(d.text), ' ')) u(word)
-          WHERE u.word <> ''
-        )
-        SELECT doc_id,
-          {" + ".join(f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))}
-          AS simhash16
-        FROM words GROUP BY doc_id""",
-)
-def dedup_simhash(spark, sf_dir):
+def _simhash_df(spark, sf_dir):
     """SimHash (16-bit): per-word md5 hash, per-bit signed vote, sign →
     fingerprint bit. Pure grouped aggregation — no pairwise work until
-    fingerprints are compared by Hamming distance."""
+    fingerprints are compared by Hamming distance. (Registered via the
+    merged `dedup_signatures` entry.)"""
     d = t(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
@@ -1180,15 +1209,10 @@ def _langid_pred_col(lt_col):
     return pred
 
 
-@register(
-    "text_token_count",
-    """SELECT doc_id,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
-       FROM documents""",
-)
-def text_token_count(spark, sf_dir):
+def _token_count_df(spark, sf_dir):
     """Token counting with a BPE-ish pre-tokenizer regex (letters | digits |
-    single punctuation)."""
+    single punctuation). (Registered via the merged `text_token_fingerprint`
+    entry.)"""
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -1261,7 +1285,7 @@ def text_quality_model(spark, sf_dir):
 
 
 @register(
-    "text_fingerprint",
+    "text_token_fingerprint",
     f"""WITH words AS (
          SELECT doc_id,
                 unnest(string_split(lower(coalesce(text, '')), ' ')) AS word,
@@ -1272,12 +1296,33 @@ def text_quality_model(spark, sf_dir):
          SELECT doc_id, {_h32_sql("word")} AS h,
                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rpos
          FROM words WHERE word <> ''
-       )
+       ), fp AS (
        SELECT doc_id,
               (sum((h * rpos) % 2147483647) % 2147483647)::BIGINT AS fingerprint
-       FROM seq GROUP BY doc_id""",
+       FROM seq GROUP BY doc_id
+       )
+       SELECT d.doc_id,
+              len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS n_tokens,
+              coalesce(fp.fingerprint, 0)::BIGINT AS fingerprint
+       FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id""",
 )
-def text_fingerprint(spark, sf_dir):
+def text_token_fingerprint(spark, sf_dir):
+    """Token counting (BPE-ish pre-tokenizer regex) + order-sensitive
+    document fingerprint in one registry entry (merged to keep the registry
+    under the driver's 50-entry sweep cap; the token count is a narrow map
+    on the probe side of the join, so the merged plan costs one broadcast-
+    able doc-keyed join over the fingerprint agg). Wordless documents keep
+    a row (LEFT JOIN, fingerprint coalesced to 0 on both engines)."""
+    tc = _token_count_df(spark, sf_dir)
+    fp = _fingerprint_df(spark, sf_dir)
+    return tc.join(fp, "doc_id", "left").select(
+        "doc_id", "n_tokens",
+        F.coalesce(F.col("fingerprint"), F.lit(0)).cast("bigint").alias("fingerprint"),
+    )
+
+
+def _fingerprint_df(spark, sf_dir):
     """Order-sensitive document fingerprint: position-weighted sum of word
     hashes mod 2^31−1 (a rolling-hash analog that is a pure grouped agg).
 
@@ -1568,25 +1613,14 @@ SPLIT_VAL_PCT = 10    # buckets [80,90) → val; [90,100) → test
 _SPLIT_SALT = "split:v1"  # version the assignment; changing it reshuffles
 
 
-@register(
-    "corpus_split_assign",
-    f"""SELECT doc_id,
-               ('0x' || substr(md5(doc_id::VARCHAR || ':{_SPLIT_SALT}'), 1, 8))::BIGINT
-                 % 100 AS bucket,
-               CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':{_SPLIT_SALT}'), 1, 8))::BIGINT
-                         % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
-                    WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':{_SPLIT_SALT}'), 1, 8))::BIGINT
-                         % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
-                    ELSE 'test' END AS split
-        FROM documents""",
-)
 def corpus_split_assign(spark, sf_dir):
     """Deterministic train/val/test assignment: salted md5 of the doc key →
     bucket 0-99 → 80/10/10 split. The canonical held-out-split primitive:
     stable across runs and machines (content-independent, key-hash based),
     versioned by the salt so a pipeline can re-cut splits without touching
     data. Narrow per-row projection — no shuffle, no state; at 100 TB this
-    is a free column on the scan."""
+    is a free column on the scan. (Registered via the merged
+    `corpus_split_sample` entry.)"""
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", _split_bucket_col().alias("bucket"),
                     _split_col().alias("split"))
@@ -1639,24 +1673,6 @@ def corpus_source_stats(spark, sf_dir):
     )
 
 
-@register(
-    "text_repetition",
-    """WITH toks AS (
-         SELECT doc_id,
-                list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
-         FROM documents
-       ), w AS (
-         SELECT doc_id, unnest(l) AS word FROM toks
-       ), c AS (
-         SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word
-       )
-       SELECT doc_id,
-              sum(cnt)::BIGINT AS n_words,
-              count(*)::BIGINT AS n_distinct,
-              round(count(*) * 1.0 / sum(cnt), 4) AS distinct_ratio,
-              round(max(cnt) * 1.0 / sum(cnt), 4) AS top_word_ratio
-       FROM c GROUP BY doc_id""",
-)
 def text_repetition(spark, sf_dir):
     """Within-document repetition signals (the Gopher/MassiveText family):
     word count, distinct-word count, type-token ratio, and the mass of the
@@ -1691,7 +1707,7 @@ _PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
 
 
 @register(
-    "text_pii_scrub",
+    "text_repetition_pii",
     f"""WITH aug AS (
          SELECT doc_id,
                 text || ' contact user' || doc_id::VARCHAR ||
@@ -1699,7 +1715,7 @@ _PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
                 lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
                 ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1' AS t
          FROM documents
-       )
+       ), scrub AS (
        SELECT doc_id,
               regexp_replace(regexp_replace(regexp_replace(t,
                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
@@ -1708,8 +1724,42 @@ _PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
               (len(regexp_extract_all(t, '{_PII_EMAIL}')) +
                len(regexp_extract_all(t, '{_PII_IPV4}')) +
                len(regexp_extract_all(t, '{_PII_PHONE}')))::BIGINT AS n_pii
-       FROM aug""",
+       FROM aug
+       ), toks AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
+         FROM documents
+       ), w AS (
+         SELECT doc_id, unnest(l) AS word FROM toks
+       ), c AS (
+         SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word
+       ), rep AS (
+       SELECT doc_id,
+              sum(cnt)::BIGINT AS n_words,
+              count(*)::BIGINT AS n_distinct,
+              round(count(*) * 1.0 / sum(cnt), 4) AS distinct_ratio,
+              round(max(cnt) * 1.0 / sum(cnt), 4) AS top_word_ratio
+       FROM c GROUP BY doc_id
+       )
+       SELECT s.doc_id, s.scrubbed, s.n_pii,
+              r.n_words, r.n_distinct, r.distinct_ratio, r.top_word_ratio
+       FROM scrub s LEFT JOIN rep r ON s.doc_id = r.doc_id""",
 )
+def text_repetition_pii(spark, sf_dir):
+    """Within-document repetition signals + PII scrub in one registry entry
+    (merged to keep the registry under the driver's 50-entry sweep cap;
+    each operator keeps its own implementation below, joined on doc_id —
+    the scrub side is narrow, so the merged plan adds one doc-keyed join
+    over the repetition agg). Wordless docs keep their scrub row with NULL
+    repetition stats on both engines."""
+    rep = text_repetition(spark, sf_dir)
+    scrub = text_pii_scrub(spark, sf_dir)
+    return scrub.join(rep, "doc_id", "left").select(
+        "doc_id", "scrubbed", "n_pii",
+        "n_words", "n_distinct", "distinct_ratio", "top_word_ratio",
+    )
+
+
 def text_pii_scrub(spark, sf_dir):
     """PII redaction: emails, IPv4 addresses, and phone numbers replaced
     with typed placeholder tokens, plus a per-doc redaction count — the
@@ -1787,8 +1837,8 @@ def dedup_keep_list(spark, sf_dir):
     label side stays broadcastable long after the corpus itself cannot
     shuffle."""
     d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    picks = _keep_picks(spark, sf_dir, d)
-    return d.join(F.broadcast(picks), "doc_id", "left").select(
+    picks, n_picks = _keep_picks(spark, sf_dir, d)
+    return d.join(_hint_if_dim(picks, n_picks), "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("cluster_rep"), F.col("doc_id")).alias("cluster_id"),
         F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),
@@ -1796,21 +1846,30 @@ def dedup_keep_list(spark, sf_dir):
 
 
 def _keep_picks(spark, sf_dir, d):
-    """(doc_id, cluster_rep, keep) for CLUSTERED docs only — LSH pairs →
-    connected components → per-cluster longest-text/min-id winner. Small
-    (near-dup slice of the corpus), hence broadcastable; shared by
-    dedup_keep_list and the fused curation record."""
+    """((doc_id, cluster_rep, keep) for CLUSTERED docs only, row count) —
+    LSH pairs → connected components → per-cluster longest-text/min-id
+    winner. Shared by dedup_keep_list and the fused curation record.
+
+    The count is returned so callers can size-gate their broadcast hint:
+    the picks relation has exactly one row per clustered doc (= the label
+    relation's cardinality), and counting the labels is cheap — both CC
+    paths return a lineage-free leaf (driver union-find Arrow batch /
+    localCheckpoint), so the count never re-runs pair generation."""
     pairs = dedup_minhash_bands(spark, sf_dir)
     comp = _connected_components(pairs, "doc_a", "doc_b").select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
     )
-    clustered = d.select("doc_id", "n_chars").join(F.broadcast(comp), "doc_id")
+    n_clustered = comp.count()
+    clustered = d.select("doc_id", "n_chars").join(
+        _hint_if_dim(comp, n_clustered), "doc_id"
+    )
     w = Window.partitionBy("cluster_rep").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
     )
-    return clustered.select(
+    picks = clustered.select(
         "doc_id", "cluster_rep", (F.row_number().over(w) == 1).alias("keep")
     )
+    return picks, n_clustered
 
 
 # Decontamination n-gram width. Production pipelines use 8-13 word grams
@@ -1885,7 +1944,7 @@ def corpus_decontaminate(spark, sf_dir):
     out = (
         d.where(F.col("doc_id") % _DECON_BENCH_MOD != 0)
         .select("doc_id")
-        .join(F.broadcast(_decon_hits(d)), "doc_id", "left")
+        .join(_decon_hits(d), "doc_id", "left")
     )
     n = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
     return out.select("doc_id", n.alias("n_hits"), (n > 0).alias("contaminated"))
@@ -1894,8 +1953,15 @@ def corpus_decontaminate(spark, sf_dir):
 def _decon_hits(d):
     """The small (doc_id, n_hits) relation of corpus docs sharing a word
     n-gram with the benchmark slice — matched grams only ever shuffle, so
-    the relation stays broadcastable at corpus scale. Shared by
-    corpus_decontaminate and the fused curation record."""
+    the relation USUALLY stays broadcastable at corpus scale. Shared by
+    corpus_decontaminate and the fused curation record.
+
+    Returned persisted + counted so the broadcast hint is size-gated: under
+    heavy contamination (a benchmark that leaked wholesale into a crawl)
+    the hit relation tracks corpus size and a forced hint would OOM the
+    driver; past _BROADCAST_ROW_LIMIT it goes unhinted and AQE falls back
+    to the doc_id shuffle join. The persist means the count does not re-run
+    the gram join for the consumer."""
     toks = d.select(
         "doc_id",
         F.expr("filter(split(lower(text), ' '), w -> w != '')").alias("l"),
@@ -1909,11 +1975,13 @@ def _decon_hits(d):
     corp_grams = corp.select(
         "doc_id", F.explode(F.array_distinct("grams")).alias("g")
     )
-    return (
+    hits = (
         corp_grams.join(F.broadcast(bench_grams), "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
+        .persist()
     )
+    return _hint_if_dim(hits, hits.count())
 
 
 _MIX_SALT = "mix:v1"  # versions the sampling decision, like _SPLIT_SALT
@@ -1921,7 +1989,7 @@ _MIX_BUDGET = 0.5  # fraction of the corpus the rebalanced sample may keep
 
 
 @register(
-    "corpus_sample_mixture",
+    "corpus_split_sample",
     f"""WITH counts AS (
          SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source
        ), tot AS (
@@ -1933,10 +2001,34 @@ _MIX_BUDGET = 0.5  # fraction of the corpus the rebalanced sample may keep
          FROM counts, tot
        )
        SELECT d.doc_id, d.source,
+              ('0x' || substr(md5(d.doc_id::VARCHAR || ':{_SPLIT_SALT}'), 1, 8))::BIGINT
+                % 100 AS bucket,
+              CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR || ':{_SPLIT_SALT}'), 1, 8))::BIGINT
+                        % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                   WHEN ('0x' || substr(md5(d.doc_id::VARCHAR || ':{_SPLIT_SALT}'), 1, 8))::BIGINT
+                        % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                   ELSE 'test' END AS split,
               {_h32_sql(f"d.doc_id::VARCHAR || ':{_MIX_SALT}'")} < t.cutoff
                 AS keep
        FROM documents d JOIN thresholds t USING (source)""",
 )
+def corpus_split_sample(spark, sf_dir):
+    """Deterministic train/val/test split assignment + mixture-budget
+    downsampling decision in one registry entry (merged to keep the
+    registry under the driver's 50-entry sweep cap). Both gates are salted
+    key-hash decisions computed in the SAME single corpus scan: the split
+    bucket is a narrow projection and the mixture keep compares the key
+    hash against the broadcast S-row per-source cutoff relation — no corpus
+    shuffle anywhere, exactly the fused curation record's shape."""
+    d = t(spark, sf_dir, "documents")
+    return d.join(F.broadcast(_mix_thresholds(d)), "source").select(
+        "doc_id", "source",
+        _split_bucket_col().alias("bucket"),
+        _split_col().alias("split"),
+        (_mix_hash_col() < F.col("cutoff")).alias("keep"),
+    )
+
+
 def corpus_sample_mixture(spark, sf_dir):
     """Mixture rebalancing: deterministic per-source downsampling toward a
     uniform source mixture under a corpus budget. Each source gets quota
@@ -2231,20 +2323,19 @@ def _curation_record_sql() -> str:
               l.pred_lang,
               k.cluster_id,
               k.keep AS dedup_keep,
-              m.keep AS mix_keep,
+              ms.keep AS mix_keep,
               (c.doc_id IS NULL) AS is_benchmark,
               coalesce(c.contaminated, FALSE) AS contaminated,
-              s.split,
-              ((q.doc_id IS NOT NULL) AND k.keep AND m.keep
+              ms.split,
+              ((q.doc_id IS NOT NULL) AND k.keep AND ms.keep
                 AND c.doc_id IS NOT NULL
                 AND NOT coalesce(c.contaminated, FALSE)) AS final_keep
        FROM documents d
        LEFT JOIN ({o["text_quality_filter"]}) q ON d.doc_id = q.doc_id
        JOIN ({o["text_langid"]}) l ON d.doc_id = l.doc_id
        JOIN ({o["dedup_keep_list"]}) k ON d.doc_id = k.doc_id
-       JOIN ({o["corpus_sample_mixture"]}) m ON d.doc_id = m.doc_id
-       LEFT JOIN ({o["corpus_decontaminate"]}) c ON d.doc_id = c.doc_id
-       JOIN ({o["corpus_split_assign"]}) s ON d.doc_id = s.doc_id"""
+       JOIN ({o["corpus_split_sample"]}) ms ON d.doc_id = ms.doc_id
+       LEFT JOIN ({o["corpus_decontaminate"]}) c ON d.doc_id = c.doc_id"""
 
 
 @register("corpus_curation_record", _curation_record_sql())
@@ -2271,16 +2362,18 @@ def corpus_curation_record(spark, sf_dir):
     registered component SQLs as derived tables, so the driver's hash gate
     is exactly the proof that this fusion equals the composition."""
     d = t(spark, sf_dir, "documents")
-    picks = _keep_picks(
-        spark, sf_dir, d.select("doc_id", "n_chars")
-    ).withColumnRenamed("keep", "_keep")
+    picks, n_picks = _keep_picks(spark, sf_dir, d.select("doc_id", "n_chars"))
+    picks = picks.withColumnRenamed("keep", "_keep")
     base = d.select(
         "doc_id", "source", "text", F.lower("text").alias("lt")
     )
+    # _mix_thresholds is S-row (one per source) — genuinely dim-sized by
+    # construction, so its hint stays forced; picks and decon hits are only
+    # USUALLY small, so their hints are size-gated (What's-wrong #1, r3)
     row = (
         base.join(F.broadcast(_mix_thresholds(d)), "source")
-        .join(F.broadcast(_decon_hits(d)), "doc_id", "left")
-        .join(F.broadcast(picks), "doc_id", "left")
+        .join(_decon_hits(d), "doc_id", "left")
+        .join(_hint_if_dim(picks, n_picks), "doc_id", "left")
     )
     quality_ok = F.coalesce(_quality_flag_col(), F.lit(False))
     scored = F.col("doc_id") % _DECON_BENCH_MOD != 0
@@ -2303,19 +2396,71 @@ def corpus_curation_record(spark, sf_dir):
     )
 
 
+def _stream_curation_sql() -> str:
+    """The streaming curation feed's gate columns, stated in batch SQL over
+    the identical domain: corpus slice = doc_id % MOD != 0 (the benchmark
+    slice is held out of the stream), gates composed from the registered
+    component oracles, first-seen exact dedup = min-doc_id per content
+    hash (QUALIFY), content hash disambiguating NULL from empty text."""
+    from pdf_extractor_spark.queries import all_oracles
+
+    o = all_oracles()
+    return f"""
+       SELECT sha256(CASE WHEN d.text IS NULL THEN '0'
+                          ELSE '1' || d.text END) AS content_hash,
+              d.doc_id, d.source,
+              (q.doc_id IS NOT NULL) AS quality_ok,
+              l.pred_lang,
+              ms.split,
+              ms.keep AS mix_keep,
+              coalesce(c.contaminated, FALSE) AS contaminated,
+              ((q.doc_id IS NOT NULL) AND ms.keep
+                AND NOT coalesce(c.contaminated, FALSE)) AS final_keep
+       FROM documents d
+       LEFT JOIN ({o["text_quality_filter"]}) q ON d.doc_id = q.doc_id
+       JOIN ({o["text_langid"]}) l ON d.doc_id = l.doc_id
+       JOIN ({o["corpus_split_sample"]}) ms ON d.doc_id = ms.doc_id
+       LEFT JOIN ({o["corpus_decontaminate"]}) c ON d.doc_id = c.doc_id
+       WHERE d.doc_id % {_DECON_BENCH_MOD} <> 0
+       QUALIFY row_number() OVER (
+         PARTITION BY sha256(CASE WHEN d.text IS NULL THEN '0'
+                                  ELSE '1' || d.text END)
+         ORDER BY d.doc_id) = 1"""
+
+
+@register("stream_curation_batch", _stream_curation_sql())
+def stream_curation_batch(spark, sf_dir):
+    """The STREAMING curation feed (streaming/curation.py) under the
+    driver's hash gate: runs the real Structured Streaming query —
+    stateful first-seen dedup via applyInPandasWithState, stream-static
+    broadcast side inputs — with an availableNow trigger over the
+    documents table into a fresh checkpoint, then returns the curated
+    rows. The oracle states the same gates in batch SQL composed from the
+    registered component oracles, so the green hash IS the stream≡batch
+    equivalence claim (gate columns share one implementation with
+    corpus_curation_record — see curation_stream's docstring)."""
+    import tempfile
+
+    from pdf_extractor_spark.streaming.curation import run_curation_stream
+
+    out_dir = tempfile.mkdtemp(prefix="stream_curation_")
+    # the file-stream source needs a DIRECTORY (basePath); the sf tables are
+    # single parquet files, so stage a symlink dir
+    in_dir = os.path.join(out_dir, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(in_dir, "documents.parquet"),
+    )
+    run_curation_stream(spark, in_dir, out_dir)
+    return spark.read.parquet(os.path.join(out_dir, "curated"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + typed metadata via mapInPandas)
 # ---------------------------------------------------------------------------
 
-@register(
-    "mm_decode_metadata",
-    """SELECT doc_id,
-              octet_length(encode(coalesce(text, ''))) AS byte_len,
-              octet_length(encode(coalesce(text, ''))) % 64 + 16 AS fake_width,
-              octet_length(encode(coalesce(text, ''))) % 7 + 1 AS fake_frames
-       FROM documents""",
-)
-def mm_decode_metadata(spark, sf_dir):
+def _mm_decode_df(spark, sf_dir):
     """Multimodal decode plumbing: an opaque binary column flows through a
     mapInPandas kernel that emits typed metadata. The decode itself is a
     deterministic fake (image/audio libs absent — see multimodal.py for the
@@ -2479,7 +2624,7 @@ def sim_ann_ivf_topk(spark, sf_dir):
 
 
 @register(
-    "mm_frame_sample",
+    "mm_media_pipeline",
     """WITH d AS (
          SELECT doc_id::VARCHAR AS doc_id,
                 lower(hex(encode(coalesce(text, '')))) AS hx,
@@ -2491,17 +2636,38 @@ def sim_ann_ivf_topk(spark, sf_dir):
          SELECT doc_id, hx, n, n_frames, unnest(range(0, n_frames, 2)) AS i
          FROM f
        ), sliced AS (
-         SELECT doc_id, i::INT AS frame_no,
+         SELECT doc_id, n, i::INT AS frame_no,
                 coalesce(list_aggregate(
                   [substr(hx, (2*p + 1)::BIGINT, 2)
                    for p in range(i, n, greatest(n_frames, 1))],
                   'string_agg', ''), '') AS shex
        FROM frames
        )
-       SELECT doc_id, frame_no, substr(sha256(shex), 1, 16) AS frame_hash
+       SELECT doc_id, frame_no, substr(sha256(shex), 1, 16) AS frame_hash,
+              n::BIGINT AS byte_len,
+              (n % 64 + 16)::BIGINT AS fake_width,
+              (n % 7 + 1)::BIGINT AS fake_frames
        FROM sliced""",
 )
-def mm_frame_sample(spark, sf_dir):
+def mm_media_pipeline(spark, sf_dir):
+    """Multimodal decode + frame-sample in one registry entry (merged to
+    keep the registry under the driver's 50-entry sweep cap): the
+    mapInPandas decode kernel's typed metadata joined onto the UDTF-shaped
+    frame fan-out — the natural media pipeline composition (decode once,
+    then sample frames). Metadata doc_id casts to string to match the
+    frame rows' id type on both engines."""
+    decoded = _mm_decode_df(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "byte_len", "fake_width", "fake_frames",
+    )
+    frames = _mm_frame_df(spark, sf_dir)
+    return frames.join(decoded, "doc_id").select(
+        "doc_id", "frame_no", "frame_hash",
+        "byte_len", "fake_width", "fake_frames",
+    )
+
+
+def _mm_frame_df(spark, sf_dir):
     """Multimodal UDTF shape: 1 binary blob → N frame rows via mapInPandas
     (deterministic fake frame stride — real codecs are gated, see
     multimodal.py). Promoted from rows-only to a full oracle row: the

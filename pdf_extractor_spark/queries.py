@@ -45,14 +45,40 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# The driver's correctness sweep records at most 50 registry entries per
+# round, truncating in dict-iteration order (round 3: 56 registered, the
+# file held exactly the first 50 in order — the 6 flagship/ANN entries
+# registered last were silently dropped). Two defenses: (a) the registry is
+# consolidated to <= 50 entries (same-family operators share one
+# oracle-paired entry; every SURVEY §2 id is still witnessed, see each
+# merged entry's docstring), and (b) iteration order leads with the entries
+# whose driver witness matters most, so any future overflow drops the tail
+# (redundant-with-pytest rows), never the flagship kernel gates.
+_PRIORITY = [
+    "s1_extract_spans",      # the S1 tokenizer/assembly hash gate
+    "o2_repair_loop",        # adaptive repair loop (frozen-VALUES)
+    "stream_curation_batch", # stream≡batch curation pin
+    "corpus_curation_record",
+    "mm_media_pipeline",     # decode + frame-sample UDTF shapes
+    "a4_kb_stats",
+    "sim_ann_lsh_topk",      # rows-only: recall-tested ANN
+    "sim_ann_ivf_topk",
+]
+
+
+def _ordered(names) -> list:
+    pri = [n for n in _PRIORITY if n in names]
+    return pri + [n for n in names if n not in _PRIORITY]
+
+
 def all_queries() -> Dict[str, QueryFn]:
-    out = {k: v[0] for k, v in _REGISTRY.items()}
-    out.update(_NO_ORACLE)
-    return out
+    merged = {k: v[0] for k, v in _REGISTRY.items()}
+    merged.update(_NO_ORACLE)
+    return {k: merged[k] for k in _ordered(merged)}
 
 
 def all_oracles() -> Dict[str, str]:
-    return {k: v[1] for k, v in _REGISTRY.items()}
+    return {k: _REGISTRY[k][1] for k in _ordered(_REGISTRY)}
 
 
 # ---------------------------------------------------------------------------
@@ -84,32 +110,23 @@ _ACCENTS_DST = "aaaaeeioooucAAAAEEIOOOUC"
     f"""SELECT doc_id,
         regexp_replace(lower(translate(substr(text, 1, 120),
             '{_ACCENTS_SRC}', '{_ACCENTS_DST}')), '[\\s_:]+', '', 'g')
-        AS norm FROM documents""",
+        AS norm,
+        regexp_replace(replace(substr(text, 1, 200), '. ', chr(10)),
+                      '\\s*\\n\\s*', ', ', 'g') AS cleaned
+        FROM documents""",
 )
 def f1_normalize_text(spark, sf_dir):
-    """F1: accent folding + [\\s_:] strip (extractor.py:146-155) — pure
-    codegen expression, no UDF."""
+    """F1 + F3 in one registry entry (both are narrow codegen maps over the
+    same scan; merged to keep the registry under the driver's 50-entry
+    sweep cap — see _PRIORITY above). `norm`: accent folding + [\\s_:]
+    strip (extractor.py:146-155). `cleaned`: the ', ' newline-collapse
+    presentation contract (extractor.py:975)."""
     d = t(spark, sf_dir, "documents")
     folded = F.translate(F.substring("text", 1, 120), _ACCENTS_SRC, _ACCENTS_DST)
-    return d.select(
-        "doc_id",
-        F.regexp_replace(F.lower(folded), r"[\s_:]+", "").alias("norm"),
-    )
-
-
-@register(
-    "f3_collapse_newlines",
-    """SELECT doc_id,
-       regexp_replace(replace(substr(text, 1, 200), '. ', chr(10)),
-                      '\\s*\\n\\s*', ', ', 'g') AS cleaned
-       FROM documents""",
-)
-def f3_collapse_newlines(spark, sf_dir):
-    """F3: the ', ' presentation contract (extractor.py:975)."""
-    d = t(spark, sf_dir, "documents")
     with_nl = F.replace(F.substring("text", 1, 200), F.lit(". "), F.lit("\n"))
     return d.select(
         "doc_id",
+        F.regexp_replace(F.lower(folded), r"[\s_:]+", "").alias("norm"),
         F.regexp_replace(with_nl, r"\s*\n\s*", ", ").alias("cleaned"),
     )
 
@@ -460,27 +477,38 @@ def w4_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
-    "e1_distinct",
-    "SELECT DISTINCT c_mktsegment AS segment FROM customer",
-)
-def e1_distinct(spark, sf_dir):
-    return t(spark, sf_dir, "customer").select(
-        F.col("c_mktsegment").alias("segment")
-    ).distinct()
-
-
-@register(
-    "e3_union",
-    """SELECT nationkey, count(*) AS n FROM (
+    "e_set_ops",
+    """SELECT 'distinct' AS op, segment AS key, NULL::BIGINT AS n
+       FROM (SELECT DISTINCT c_mktsegment AS segment FROM customer)
+       UNION ALL
+       SELECT 'union' AS op, nationkey::VARCHAR AS key, count(*) AS n FROM (
          SELECT c_nationkey AS nationkey FROM customer
          UNION ALL
          SELECT s_nationkey AS nationkey FROM supplier)
        GROUP BY nationkey""",
 )
-def e3_union(spark, sf_dir):
-    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+def e_set_ops(spark, sf_dir):
+    """E1 (distinct) + E3 (union) in one tagged registry entry (merged to
+    keep the registry under the driver's 50-entry sweep cap). `op =
+    'distinct'` rows are the distinct market segments; `op = 'union'` rows
+    are the per-nation counts over customer ∪ supplier. Both sides are
+    map-side-combinable aggregates; at scale each is one shuffle on its key."""
+    c = t(spark, sf_dir, "customer")
+    seg = (
+        c.select(F.col("c_mktsegment").alias("key")).distinct()
+        .select(F.lit("distinct").alias("op"), "key",
+                F.lit(None).cast("bigint").alias("n"))
+    )
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.unionByName(s).groupBy("nationkey").agg(F.count("*").alias("n"))
+    uni = (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("union").alias("op"),
+                F.col("nationkey").cast("string").alias("key"), "n")
+    )
+    return seg.unionByName(uni)
 
 
 # ---------------------------------------------------------------------------

@@ -102,7 +102,16 @@ def curation_stream(
         "source",
         "text",
         F.lower("text").alias("lt"),
-        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("content_hash"),
+        # '0' / '1'+text marker disambiguates NULL text from empty text in
+        # the dedup key — sha2(coalesce(text, '')) would collapse the two
+        # into one group and silently drop whichever arrives second
+        F.sha2(
+            F.concat(
+                F.when(F.col("text").isNull(), F.lit("0")).otherwise(F.lit("1")),
+                F.coalesce(F.col("text"), F.lit("")),
+            ),
+            256,
+        ).alias("content_hash"),
         F.expr(
             "filter(split(lower(coalesce(text, '')), ' '), w -> w != '')"
         ).alias("l"),
