@@ -292,31 +292,98 @@ def _post_predict(dict_bytes: bytes, decoded: Optional[bytes]) -> Optional[bytes
     return _apply_predictor(decoded, pred, cols, colors, bpc)
 
 
-def _decode_stream(dict_bytes: bytes, stream: bytes) -> Optional[bytes]:
-    if b"/FlateDecode" in dict_bytes:
-        try:
-            return _post_predict(dict_bytes, zlib.decompress(stream))
+def _flate_decode(data: bytes) -> Optional[bytes]:
+    try:
+        return zlib.decompress(data)
+    except zlib.error:
+        try:  # tolerate truncated trailing checksum
+            return zlib.decompressobj().decompress(data)
         except zlib.error:
-            try:  # tolerate truncated trailing checksum
-                return _post_predict(
-                    dict_bytes, zlib.decompressobj().decompress(stream)
-                )
-            except zlib.error:
-                return None
-    if b"/LZWDecode" in dict_bytes:
-        return _post_predict(dict_bytes, _lzw_decode(stream))
-    if b"/ASCIIHexDecode" in dict_bytes:
-        body = stream.split(b">")[0]
-        hexdigits = re.sub(rb"\s", b"", body)
-        if len(hexdigits) % 2:
-            hexdigits += b"0"
-        try:
-            return bytes.fromhex(hexdigits.decode("ascii"))
-        except (ValueError, UnicodeDecodeError):
             return None
-    if b"/Filter" not in dict_bytes:
-        return stream
-    return None  # unsupported filter → graceful skip
+
+
+def _asciihex_decode(data: bytes) -> Optional[bytes]:
+    body = data.split(b">")[0]
+    hexdigits = re.sub(rb"\s", b"", body)
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    try:
+        return bytes.fromhex(hexdigits.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def _ascii85_decode(data: bytes) -> Optional[bytes]:
+    """PDF ASCII85Decode (PDF 32000-1 §7.4.3): base-85 groups of 5 chars
+    ('!'..'u') → 4 bytes, 'z' shorthand for four zero bytes between groups,
+    '~>' terminator, partial final group of k chars → k-1 bytes."""
+    body = re.sub(rb"\s", b"", data.split(b"~>")[0])
+    if body.startswith(b"<~"):
+        body = body[2:]
+    out = bytearray()
+    group: List[int] = []
+    for ch in body:
+        if ch == 0x7A:  # 'z'
+            if group:
+                return None  # 'z' inside a group is malformed
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= ch <= 0x75:
+            return None
+        group.append(ch - 33)
+        if len(group) == 5:
+            n = 0
+            for d in group:
+                n = n * 85 + d
+            if n > 0xFFFFFFFF:
+                return None
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            return None  # a single trailing char encodes nothing
+        k = len(group)
+        group += [84] * (5 - k)  # pad with 'u'
+        n = 0
+        for d in group:
+            n = n * 85 + d
+        out += min(n, 0xFFFFFFFF).to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+_FILTER_VALUE_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+
+_FILTER_FNS = {
+    b"FlateDecode": _flate_decode, b"Fl": _flate_decode,
+    b"LZWDecode": _lzw_decode, b"LZW": _lzw_decode,
+    b"ASCIIHexDecode": _asciihex_decode, b"AHx": _asciihex_decode,
+    b"ASCII85Decode": _ascii85_decode, b"A85": _ascii85_decode,
+}
+
+
+def _decode_stream(dict_bytes: bytes, stream: bytes) -> Optional[bytes]:
+    """Apply the stream's /Filter pipeline IN ORDER (PDF 32000-1 §7.4):
+    Flate, LZW, ASCIIHex and ASCII85 (plus their abbreviations), including
+    chains like [/ASCII85Decode /FlateDecode] — the common
+    transport-encoding + compression pairing. /Predictor post-processing
+    applies after the decompression filter, i.e. at the end of the chain.
+    Unsupported filters (DCTDecode etc.) → graceful skip (None)."""
+    m = _FILTER_VALUE_RE.search(dict_bytes)
+    if m is None:
+        return stream if b"/Filter" not in dict_bytes else None
+    data: Optional[bytes] = stream
+    names = _FILTER_NAME_RE.findall(m.group(1))
+    for nm in names:
+        if data is None:
+            return None
+        fn = _FILTER_FNS.get(nm)
+        if fn is None:
+            return None  # unsupported filter → graceful skip
+        data = fn(data)
+    if any(nm in (b"FlateDecode", b"Fl", b"LZWDecode", b"LZW") for nm in names):
+        return _post_predict(dict_bytes, data)
+    return data
 
 
 # --- string decoding -------------------------------------------------------
@@ -388,7 +455,7 @@ def _decode_pdf_string(raw: bytes, enc_map=None) -> str:
             return b[2:].decode("utf-16-be")
         except UnicodeDecodeError:
             return ""
-    if isinstance(enc_map, CMapEncoding):
+    if isinstance(enc_map, (CMapEncoding, IdentityCIDEncoding)):
         return enc_map.decode(b)
     return _bytes_to_text(b, enc_map)
 
@@ -509,6 +576,50 @@ class CMapEncoding:
         )
 
 
+class _UnparsedText(str):
+    """Marker type for content that WAS present but could not be decoded to
+    Unicode (Identity-H glyph indexes without a /ToUnicode table). It is an
+    empty str, so any text pipeline treats it as no text — but the run
+    interpreter sees the type and emits a clearly-typed ``kind='unparsed'``
+    span instead of silently suppressing the run."""
+
+    __slots__ = ()
+
+
+_UNPARSED = _UnparsedText()
+
+
+class IdentityCIDEncoding:
+    """Predefined Identity-H/V CMap semantics (PDF 32000-1 §9.7.5.2) for a
+    Type0 font WITHOUT a /ToUnicode stream: character codes are 2-byte CIDs
+    equal to the font's glyph indexes. Glyph index → Unicode is a private
+    property of the (unavailable, subsetted) font program, so true text
+    recovery is impossible in general. Best effort, replacing the previous
+    whole-run suppression:
+
+    * if every CID lands in printable ASCII (0x20-0x7E), the generator used
+      char codes as glyph ids (common for trivially-subsetted fonts) —
+      decode directly;
+    * otherwise return the typed :data:`_UNPARSED` marker so the run emits
+      a ``kind='unparsed'`` span (position + extent preserved, no mojibake
+      in the text layer)."""
+
+    __slots__ = ()
+
+    nbytes = 2
+
+    def decode(self, raw: bytes):
+        cids = [
+            int.from_bytes(raw[i : i + 2], "big")
+            for i in range(0, len(raw) - 1, 2)
+        ]
+        if not cids:
+            return ""
+        if all(0x20 <= c <= 0x7E for c in cids):
+            return "".join(chr(c) for c in cids)
+        return _UNPARSED
+
+
 _CMAP_SECTION_RE = {
     "bfchar": re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL),
     "bfrange": re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL),
@@ -609,7 +720,7 @@ def _decode_hex_string(raw: bytes, enc_map=None) -> str:
       contract) rather than garbage."""
     if not raw:
         return ""
-    if isinstance(enc_map, CMapEncoding):
+    if isinstance(enc_map, (CMapEncoding, IdentityCIDEncoding)):
         return enc_map.decode(raw)
     if enc_map:
         return _bytes_to_text(raw, enc_map)
@@ -708,8 +819,14 @@ def _run_content(
 
     def emit_text(parts: List[str]) -> None:
         text = "".join(parts)
+        unparsed = False
         if not text:
-            return
+            # content was present but undecodable (Identity-H glyph indexes
+            # with no /ToUnicode): emit a typed zero-width 'unparsed' span —
+            # position preserved, no mojibake — instead of dropping the run
+            if not any(isinstance(p, _UnparsedText) for p in parts):
+                return
+            unparsed = True
         # device-space origin of the text run
         m = _mat_mul(tm, ctm)
         if m[1] != 0.0 or m[2] != 0.0 or m[0] <= 0.0 or m[3] <= 0.0:
@@ -735,7 +852,7 @@ def _run_content(
         # adds the 0.2 em descender when building device-space glyph boxes.
         spans.append(
             {
-                "kind": "text",
+                "kind": "unparsed" if unparsed else "text",
                 "text": text,
                 "media_ref": None,
                 "x0": x,
@@ -982,21 +1099,27 @@ def _font_encodings(page_dict: bytes, objects) -> Dict[str, Any]:
             if diffs:
                 out[name] = diffs
                 continue
+        cmap = None
         tu_raw = _dict_value(font_dict, b"ToUnicode")
-        if tu_raw is None:
-            continue
-        tu_ref = _resolve_ref(tu_raw)
-        if tu_ref is None or tu_ref not in objects:
-            continue
-        tu_dict, tu_stream = objects[tu_ref]
-        if tu_stream is None:
-            continue
-        decoded = _decode_stream(tu_dict, tu_stream)
-        if not decoded:
-            continue
-        cmap = parse_tounicode_cmap(decoded)
+        if tu_raw is not None:
+            tu_ref = _resolve_ref(tu_raw)
+            if tu_ref is not None and tu_ref in objects:
+                tu_dict, tu_stream = objects[tu_ref]
+                if tu_stream is not None:
+                    decoded = _decode_stream(tu_dict, tu_stream)
+                    if decoded:
+                        cmap = parse_tounicode_cmap(decoded)
         if cmap is not None:
             out[name] = cmap
+        elif b"/Type0" in font_dict and (
+            b"/Identity-H" in font_dict or b"/Identity-V" in font_dict
+        ):
+            # Identity-encoded Type0 subset font with no usable /ToUnicode:
+            # predefined Identity CMap semantics (2-byte CIDs) with the
+            # best-effort ASCII heuristic / typed-unparsed fallback —
+            # previously these runs were silently suppressed by the
+            # hex-string control-byte guard
+            out[name] = IdentityCIDEncoding()
     return out
 
 

@@ -378,6 +378,17 @@ def _connected_components_star(pairs, a_col: str, b_col: str):
     resets the plan to a leaf each round; on a real cluster the same call
     stands (executor-local blocks; swap in reliable checkpoint(dir) when
     rounds must survive executor loss)."""
+    # node domain INCLUDING self-loop-only nodes: the star rounds drop
+    # u == v edges (they carry no connectivity), but a node appearing only
+    # in self-loop pairs must still be emitted with label = itself — the
+    # driver union-find and propagation paths both do, and the three
+    # dispatch paths must agree on the output node domain
+    nodes = (
+        pairs.select(F.col(a_col).alias("id"))
+        .unionByName(pairs.select(F.col(b_col).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -414,15 +425,28 @@ def _connected_components_star(pairs, a_col: str, b_col: str):
             .localCheckpoint(eager=True)
         )
         new_sig = _edge_signature(small)
-        e = small
+        prev, e = e, small
         if new_sig == sig:
-            break
+            # the signature (count + xxhash64 sum) is probabilistic: a
+            # collision between non-equal successive edge multisets would
+            # stop before the star fixpoint with wrong labels. Confirm
+            # exactly once at the first signature match — counts already
+            # agree, so one-directional exceptAll emptiness ⇔ multiset
+            # equality; both frames are checkpointed leaves, so this is
+            # one cheap extra job at convergence only.
+            if prev.exceptAll(small).isEmpty():
+                break
         sig = new_sig
     # fixpoint edges are stars (child → component min): children appear as
-    # u, each center as v; the union is exactly the node set of `pairs`
-    return e.select(F.col("u").alias("id"), F.col("v").alias("label")).unionByName(
+    # u, each center as v. Self-loop-only and isolated-pair nodes are
+    # restored from the full node domain with label = themselves.
+    star = e.select(F.col("u").alias("id"), F.col("v").alias("label")).unionByName(
         e.select(F.col("v").alias("id"), F.col("v").alias("label")).distinct()
     )
+    missing = nodes.join(star, "id", "left_anti").select(
+        "id", F.col("id").alias("label")
+    )
+    return star.unionByName(missing)
 
 
 def _connected_components(pairs, a_col: str, b_col: str):
@@ -482,10 +506,18 @@ def _connected_components(pairs, a_col: str, b_col: str):
     rounds = 0
     while True:
         rounds += 1
-        if rounds > _PROP_ROUND_LIMIT:
+        # limit + 1: a graph of diameter exactly _PROP_ROUND_LIMIT is one
+        # confirmation round (unchanged sum) from converging — let it
+        # finish instead of tripping to the star path unnecessarily
+        if rounds > _PROP_ROUND_LIMIT + 1:
             # long-diameter component: restart on the star algorithm rather
-            # than propagating O(diameter) more rounds
-            out = _connected_components_star(pairs, a_col, b_col)
+            # than propagating O(diameter) more rounds. Seeded from the
+            # PERSISTED symmetric edge relation (the same edge set), not
+            # the raw `pairs` lineage — re-entering pairs would re-run the
+            # whole LSH pair-generation job. The star's entry checkpoint
+            # (eager) materializes off the cache during the call, so the
+            # unpersist below never re-triggers pair generation.
+            out = _connected_components_star(edges, "s", "d")
             edges.unpersist()
             return out
         neigh = (
@@ -649,6 +681,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 SESSION_GAP_SEC = 1800  # 30 min inactivity ends a session
+# Pre-sessionize bucket for the two-level skew guard: one task never holds
+# more than one user-HOUR of events, so a bot user (the canonical event
+# skew) parallelizes across its hours instead of forming one fat partition.
+# Correctness does not depend on the width — the merge pass re-applies the
+# gap rule across bucket edges — so it is purely a parallelism/summary-row
+# tradeoff.
+SESSION_BUCKET_SEC = 3600
 
 
 @register(
@@ -693,7 +732,22 @@ def w5_sessionize(spark, sf_dir):
     as DECIMAL(18,2) on both engines and only then converts to double, so
     no accumulation-order-dependent float sum reaches the hash layer; and
     the epoch seconds come from a plain timestamp→long cast, which is
-    session-timezone-independent (unix_timestamp is not for all types)."""
+    session-timezone-independent (unix_timestamp is not for all types).
+
+    SKEW: the Spark side is TWO-LEVEL — pre-sessionize within
+    (user_id, {SESSION_BUCKET_SEC}-second bucket), then merge local
+    sessions whose boundary gap is within SESSION_GAP_SEC. A flat
+    Window.partitionBy(user_id) puts a bot user's entire history into one
+    task (the defining skew of event streams — at 10^9 events, the
+    straggler); bucketing caps a task at one user-hour of events, and the
+    merge pass runs over LOCAL SESSION SUMMARIES (≤ one row per user-hour
+    for a hot user — the hotter the user, the better the compression; a
+    sparse user contributes one summary per event but then has few
+    events). Local boundary flags use the true previous event for every
+    non-first event in a bucket and the merge re-applies the identical gap
+    rule across bucket edges, so the result is EXACTLY the single-window
+    answer — which the unchanged single-pass oracle proves under the
+    driver's hash gate."""
     e = t(spark, sf_dir, "events")
     # ts is TIMESTAMP_NTZ: wall-clock difference from the epoch literal is
     # the tz-independent epoch-seconds (a cast via TIMESTAMP would re-anchor
@@ -702,9 +756,14 @@ def w5_sessionize(spark, sf_dir):
     tcol = F.expr(
         "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     ).cast("long")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select("user_id", "event_id", tcol.alias("t"), "value",
-                   F.lag(tcol).over(w).alias("prev_t"))
+    base = e.select(
+        "user_id", "event_id", "ts", "value",
+        F.floor(tcol / F.lit(SESSION_BUCKET_SEC)).alias("bkt"),
+        tcol.alias("t"),
+    )
+    w = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    seq = base.select("user_id", "event_id", "bkt", "t", "value",
+                      F.lag("t").over(w).alias("prev_t"))
     flagged = seq.withColumn(
         "new_session",
         F.when(
@@ -718,17 +777,41 @@ def w5_sessionize(spark, sf_dir):
     # running-sum order (and flaky session membership); same ORDER BY in
     # the oracle
     w2 = (
-        Window.partitionBy("user_id")
+        Window.partitionBy("user_id", "bkt")
         .orderBy("t", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    numbered = flagged.withColumn("session_no", F.sum("new_session").over(w2))
-    return numbered.groupBy("user_id", "session_no").agg(
-        F.count("*").alias("n_events"),
-        (F.max("t") - F.min("t")).alias("duration_sec"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-        .cast("double")
-        .alias("total_value"),
+    numbered = flagged.withColumn("local_no", F.sum("new_session").over(w2))
+    # local session summaries: the partial rollup happens in the SAME
+    # (user, bucket) exchange as the windows; value partials stay exact
+    # DECIMAL so the post-merge round equals the oracle's single round
+    local = numbered.groupBy("user_id", "bkt", "local_no").agg(
+        F.min("t").alias("min_t"),
+        F.max("t").alias("max_t"),
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sval"),
+    )
+    # merge pass over summaries: re-apply the gap rule to the local session
+    # intervals (min_t strictly increases per user — sessions are
+    # gap-disjoint), running sum = the global session ordinal
+    w3 = Window.partitionBy("user_id").orderBy("min_t")
+    merged = local.withColumn(
+        "new_glob",
+        F.when(
+            F.lag("max_t").over(w3).isNull()
+            | ((F.col("min_t") - F.lag("max_t").over(w3)) > SESSION_GAP_SEC),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_no",
+        F.sum("new_glob").over(
+            w3.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return merged.groupBy("user_id", "session_no").agg(
+        F.sum("n").alias("n_events"),
+        (F.max("max_t") - F.min("min_t")).alias("duration_sec"),
+        F.round(F.sum("sval"), 2).cast("double").alias("total_value"),
     )
 
 
@@ -1385,9 +1468,16 @@ def _min_parallelism(df, spark):
     partitions than the session's parallelism, round-robin repartition up —
     the exchange moves only the projected (doc_id, text) rows of a small
     input. At production scale the input has thousands of natural splits,
-    the branch is not taken, and no exchange is added."""
+    the branch is not taken, and no exchange is added.
+
+    The split estimate is `inputFiles()` (a file listing), NOT
+    `df.rdd.getNumPartitions()`: converting to an RDD builds the full RDD
+    lineage for the plan on every call — pure driver-side waste for a
+    guard whose production branch never fires. A many-split single file
+    underestimates and adds one redundant exchange on a small input;
+    non-file sources list zero files and also take the safe branch."""
     goal = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < goal:
+    if len(df.inputFiles()) < goal:
         return df.repartition(goal)
     return df
 

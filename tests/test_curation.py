@@ -353,3 +353,35 @@ def test_curation_record_fusion_equals_composition(spark, tmp_path):
     assert any(r[7] for r in got)                                      # contaminated
     assert len({r[8] for r in got}) == 3                               # all splits
     assert by[0][6] and not by[0][9]  # doc 0: benchmark slice, never kept
+
+
+def test_langid_accented_pinned(spark, tmp_path):
+    """Frozen pred_lang over accented text (r3 advice): langid counts
+    \\b-delimited bank hits, and \\b is the ASCII word boundary — accents
+    are non-word chars, so accent-internal boundaries create hits ('esta'
+    matches inside 'estaño', the trailing 'o' of 'não' can feed the pt/es
+    'o' banks). That tradeoff is accepted; these pinned predictions make
+    any future boundary-class or bank change surface as a test diff
+    instead of silent cross-round drift."""
+    from pyspark.sql import functions as F
+
+    import pdf_extractor_spark.pipeline_queries as pq
+
+    texts = [
+        "esta não é uma situação comum no estaño da cidade",
+        "la atención de los niños está en el jardín según él",
+        "the quick brown fox is on the run and it is not alone",
+        "le chat est dans la maison et il a été très heureux avec les autres",
+        "das Mädchen wäre über die Straße zur Tür gegangen und überall",
+        "não não não apenas acentuação coração",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, txt string"
+    )
+    got = {
+        r["doc_id"]: r["p"]
+        for r in df.select(
+            "doc_id", pq._langid_pred_col(F.lower("txt")).alias("p")
+        ).collect()
+    }
+    assert got == {0: "pt", 1: "es", 2: "en", 3: "fr", 4: "de", 5: "pt"}

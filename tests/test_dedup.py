@@ -117,11 +117,15 @@ def test_star_cc_equals_propagation_on_random_graph(spark, monkeypatch):
     rng = random.Random(11)
     edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
     edges = [(a, b) for a, b in edges if a != b]
+    # self-loop-only nodes: every path must emit them labeled themselves
+    # (the star rounds drop u == v edges, so this pins the domain repair)
+    edges += [(500, 500), (501, 501)]
     pairs = spark.createDataFrame(edges, "a long, b long")
     driver = _label_set(pq._connected_components(pairs, "a", "b"))
     monkeypatch.setattr(pq, "_CC_DRIVER_EDGE_LIMIT", 0)  # force distributed
     prop = _label_set(pq._connected_components(pairs, "a", "b"))
     star = _label_set(pq._connected_components_star(pairs, "a", "b"))
+    assert {(500, 500), (501, 501)} <= driver
     assert star == prop == driver
 
 

@@ -480,10 +480,78 @@ def test_type0_unmapped_cid_suppressed_not_mojibake():
     assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["YY"]
 
 
-def test_cid_font_without_tounicode_still_guarded():
-    # no ToUnicode: the control-byte guard must keep suppressing the run
+def test_cid_font_without_tounicode_emits_typed_unparsed_span():
+    # no ToUnicode, glyph-index CIDs (not ASCII): the run must surface as a
+    # clearly-typed kind='unparsed' span at its position — never mojibake
+    # in the text layer, and no longer silent suppression
     font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/EEEEEE+Sub "
             b"/Encoding/Identity-H >> endobj")
     ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <00030004000500050007> Tj ET"
     pdf = _pdf_with_font(ops, [font], b"/F1 10 0 R")
-    assert _texts(tokenize_pdf(pdf)) == []
+    result = tokenize_pdf(pdf)
+    assert _texts(result) == []
+    unparsed = [s for s in result["spans"] if s["kind"] == "unparsed"]
+    assert len(unparsed) == 1
+    assert unparsed[0]["text"] == ""
+    assert (round(unparsed[0]["x0"], 1), round(unparsed[0]["y0"], 1)) == (50.0, 700.0)
+
+
+def test_identity_h_ascii_cids_decode_without_tounicode():
+    # generators that subset trivially keep char codes as glyph ids: every
+    # CID in printable ASCII → best-effort direct decode
+    font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/FFFFFF+Sub "
+            b"/Encoding/Identity-H >> endobj")
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <00480065006C006C006F> Tj ET"
+    pdf = _pdf_with_font(ops, [font], b"/F1 10 0 R")
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["Hello"]
+
+
+# --- ASCII85 filter ---------------------------------------------------------
+
+
+def test_ascii85_content_stream():
+    import base64
+
+    ops = BASIC
+    stream = base64.a85encode(ops) + b"~>"
+    pdf = _pdf(ops, compress=False, filter_entry=b"/Filter /ASCII85Decode")
+    # _pdf embeds raw ops; rebuild with the encoded stream instead
+    pdf = pdf.replace(
+        b"<< /Length %d /Filter /ASCII85Decode >> stream\n%s\nendstream"
+        % (len(ops), ops),
+        b"<< /Length %d /Filter /ASCII85Decode >> stream\n%s\nendstream"
+        % (len(stream), stream),
+    )
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["hello"]
+
+
+def test_ascii85_flate_filter_chain():
+    import base64
+
+    ops = BASIC
+    stream = base64.a85encode(zlib.compress(ops)) + b"~>"
+    pdf = _pdf(ops, compress=False,
+               filter_entry=b"/Filter [/ASCII85Decode /FlateDecode]")
+    pdf = pdf.replace(
+        b"<< /Length %d /Filter [/ASCII85Decode /FlateDecode] >> stream\n%s\nendstream"
+        % (len(ops), ops),
+        b"<< /Length %d /Filter [/ASCII85Decode /FlateDecode] >> stream\n%s\nendstream"
+        % (len(stream), stream),
+    )
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["hello"]
+
+
+def test_ascii85_decoder_edges():
+    import base64
+
+    from pdf_extractor_spark.pdf.tokenizer import _ascii85_decode
+
+    # z shorthand, partial final group, whitespace, <~ prefix, ~> suffix
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    payload = b"\x00\x00\x00\x00ab\xffxyz!"
+    enc = base64.a85encode(payload)
+    assert _ascii85_decode(b"<~ " + enc + b" ~>") == payload
+    for n in range(1, 40):
+        p = bytes(range(n))
+        assert _ascii85_decode(base64.a85encode(p) + b"~>") == p
+    assert _ascii85_decode(b"\x80bad~>") is None
