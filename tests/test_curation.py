@@ -412,3 +412,77 @@ def test_keep_list_broadcast_hint_is_size_gated(spark, sf_dir, monkeypatch):
     assert n_hints_default > 0      # the dim-sized case keeps its hints
     assert n_hints_gated == 0       # past the ceiling: no forced broadcast
     assert rows_hinted == rows_unhinted
+
+
+def test_sessionize_two_level_equals_flat_on_skewed_events(spark, tmp_path):
+    """r3 What's-wrong #2: sessionize's skew story. Build an event corpus
+    where ONE bot user owns half the events (dense sub-gap bursts crossing
+    many hour buckets, i.e. sessions spanning bucket boundaries) and sparse
+    users sit exactly on gap edges. The registered two-level form
+    (pre-sessionize per user-hour, merge boundary sessions) must equal the
+    flat single-window form row for row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import pdf_extractor_spark.pipeline_queries as pq
+
+    rows = []
+    eid = 0
+    # bot: 2000 events, 90 s apart -> one giant session crossing ~50 hour
+    # buckets, plus a >gap pause creating a second session mid-stream
+    t = 1_000_000
+    for i in range(2000):
+        t += 90 if i != 1000 else pq.SESSION_GAP_SEC + 90
+        rows.append((eid, t, 1, float(i % 7))); eid += 1
+    # sparse users: events exactly at gap and gap+1 boundaries
+    for u in range(2, 40):
+        base = 2_000_000 + u * 10_000
+        for k, dt in enumerate([0, pq.SESSION_GAP_SEC, pq.SESSION_GAP_SEC + 1, 10]):
+            base += dt
+            rows.append((eid, base, u, float(k))); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, t long, user_id long, value double")
+    events = df.select(
+        "event_id",
+        F.expr("timestamp_ntz '1970-01-01 00:00:00' + make_interval(0,0,0,0,0,0,t)").alias("ts"),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    sf = str(tmp_path / "sess")
+    events.write.parquet(os.path.join(sf, "events.parquet"))
+
+    got = {tuple(r) for r in pq.w5_sessionize(spark, sf).collect()}
+
+    # flat single-window reference (the oracle's dataflow, on Spark)
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    tcol = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    ).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_id", tcol.alias("t"), "value",
+                   F.lag(tcol).over(w).alias("prev_t"))
+    flagged = seq.withColumn(
+        "new_session",
+        F.when(F.col("prev_t").isNull()
+               | ((F.col("t") - F.col("prev_t")) > pq.SESSION_GAP_SEC), 1
+               ).otherwise(0),
+    )
+    w2 = (Window.partitionBy("user_id").orderBy("t", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ref = (
+        flagged.withColumn("session_no", F.sum("new_session").over(w2))
+        .groupBy("user_id", "session_no")
+        .agg(F.count("*").alias("n_events"),
+             (F.max("t") - F.min("t")).alias("duration_sec"),
+             F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+             .cast("double").alias("total_value"))
+    )
+    want = {tuple(r) for r in ref.collect()}
+    assert got == want
+    # the bot really did cross bucket boundaries in one session
+    bot = sorted(r for r in got if r[0] == 1)
+    assert len(bot) == 2 and bot[0][3] > pq.SESSION_BUCKET_SEC  # duration
