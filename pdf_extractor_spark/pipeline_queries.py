@@ -98,12 +98,32 @@ def dedup_exact(spark, sf_dir):
 def dedup_signatures(spark, sf_dir):
     """Per-document dedup signatures — MinHash (k=8) + SimHash (16-bit) in
     one registry entry (merged to keep the registry under the driver's
-    50-entry sweep cap; each signature keeps its own implementation below
-    and they join on doc_id — both sides are partial-agg shapes, so the
-    join keys are already doc-hashed (doc, ints) rows, never text)."""
-    mh = _minhash_signature_df(spark, sf_dir)
-    sim = _simhash_df(spark, sf_dir)
-    return mh.join(sim, "doc_id")
+    50-entry sweep cap), FUSED into one explode + one grouped agg: a
+    permutation MIN is invariant to duplicate words (min over the distinct
+    set equals min over all instances), so the same all-words explode that
+    feeds SimHash's per-bit votes feeds the MinHash mins — one word hash
+    computed once, ONE shuffle carrying (doc, 8×int + 16-bit votes)
+    partials, no join. The oracle states the two signatures as separate
+    CTEs joined on doc_id; the green hash is the fusion-equals-composition
+    proof. Standalone forms below (`_minhash_signature_df`, `_simhash_df`)
+    remain for callers that want one signature only."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("word"),
+    ).select("doc_id", _h32(F.col("word")).alias("h"))
+    hm = F.col("h") % _MINHASH_P
+    aggs = [F.min(_perm_col(hm, k)).alias(f"mh_{k + 1}") for k in range(8)]
+    bit_terms = None
+    for b in range(16):
+        vote = F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        )
+        term = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bit_terms = term if bit_terms is None else (bit_terms + term)
+    return words.groupBy("doc_id").agg(*aggs, bit_terms.alias("simhash16"))
 
 
 def _minhash_signature_df(spark, sf_dir):
