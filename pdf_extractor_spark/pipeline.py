@@ -373,6 +373,13 @@ def run_extraction_job(
         F.count(F.lit(1)).alias("docs"),
         F.sum("span_count").alias("spans"),
         F.sum(F.when(F.col("span_count") == 0, 1).otherwise(0)).alias("empty_docs"),
+        # Identity-H runs without /ToUnicode surface as kind='unparsed'
+        # spans (tokenizer.py IdentityCIDEncoding) — counted here so a
+        # corpus owner sees how much content the text layer could not
+        # recover instead of reading a silently smaller span count
+        F.sum(
+            F.size(F.filter("spans", lambda s: s["kind"] == F.lit("unparsed")))
+        ).alias("unparsed_spans"),
         F.approx_count_distinct("content_hash").alias("approx_distinct"),
     )
     # overwrite makes a mid-write retry of the SAME run idempotent (partial

@@ -164,3 +164,23 @@ def test_partial_spans_write_cleaned_and_redone(spark, tmp_path):
     spans = spark.read.parquet(os.path.join(out_dir, "spans"))
     assert spans.count() == 20
     assert spans.select("doc_id").distinct().count() == 20
+
+
+def test_unparsed_span_metric_counts_identity_h_runs(spark, tmp_path):
+    """A Type0 Identity-H font without /ToUnicode yields a typed
+    kind='unparsed' span; the job's observed metrics must surface the
+    count (observability for how much content the text layer could not
+    recover)."""
+    from pdf_extractor_spark.schema import RAW_DOC_SCHEMA
+    from tests.test_tokenizer_constructs import _pdf_with_font
+
+    font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/EEEEEE+Sub "
+            b"/Encoding/Identity-H >> endobj")
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <00030004000500050007> Tj ET"
+    pdf = _pdf_with_font(ops, [font], b"/F1 10 0 R")
+    rows = [("idh_doc", pdf, "application/pdf", "x", {}, len(pdf))]
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, RAW_DOC_SCHEMA).write.parquet(docs_path)
+    out_dir = str(tmp_path / "out")
+    stats = run_extraction_job(spark, docs_path, out_dir, run_id="u", partitions=2)
+    assert stats["metrics"]["unparsed_spans"] == 1
