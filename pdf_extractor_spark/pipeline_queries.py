@@ -2562,7 +2562,18 @@ def stream_curation_batch(spark, sf_dir):
         os.path.join(sf_dir, "documents.parquet"),
         os.path.join(in_dir, "documents.parquet"),
     )
-    run_curation_stream(spark, in_dir, out_dir)
+    # the state-store partition count is baked from
+    # spark.sql.shuffle.partitions at stream start: a session-default 200
+    # would spin 200 state partitions (and 200-task stateful stages) for a
+    # 500-row gate check — pin a small width for this fresh checkpoint and
+    # restore the caller's setting after
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        run_curation_stream(spark, in_dir, out_dir)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(os.path.join(out_dir, "curated"))
 
 
