@@ -245,6 +245,14 @@ def write_report(n_docs: int) -> dict:
             "4x-node cluster efficiency: 4·r(8)-per-node vs the measured\n"
             "r(32) single-socket figure.\n"
         )
+        # hand-maintained analysis sections (measurement isolation, the
+        # curation-pipeline legs and their per-round narratives) live in
+        # BENCH/NOTES.md so regenerating the extraction tables above never
+        # clobbers them
+        notes = os.path.join(REPO, "BENCH", "NOTES.md")
+        if os.path.exists(notes):
+            with open(notes) as nf:
+                f.write("\n" + nf.read())
     return result
 
 
