@@ -2419,6 +2419,114 @@ def corpus_vocab(spark, sf_dir):
     )
 
 
+_BPE_VOCAB_WORDS = 2000  # words feeding merge learning (df-capped, like vocab)
+
+
+def _bpe_apply_merge(syms, left, right):
+    """Greedy left-to-right single-round BPE merge over a symbol array —
+    one in-row fold (no shuffle): carry a pending symbol; when (pending,
+    next) equals the chosen pair, emit the merged token and clear, so a
+    freshly merged token never re-merges within the round (the standard
+    non-overlapping application)."""
+    merged = F.concat(left, right)
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(st, x):
+        emit_merge = F.struct(
+            F.concat(st["acc"], F.array(merged)).alias("acc"),
+            F.lit(None).cast("string").alias("pend"),
+        )
+        shift = F.struct(
+            F.concat(st["acc"], F.array(st["pend"])).alias("acc"), x.alias("pend")
+        )
+        start = F.struct(st["acc"].alias("acc"), x.alias("pend"))
+        return (
+            F.when(st["pend"].isNull(), start)
+            .when((st["pend"] == left) & (x == right), emit_merge)
+            .otherwise(shift)
+        )
+
+    def fin(st):
+        return F.when(st["pend"].isNull(), st["acc"]).otherwise(
+            F.concat(st["acc"], F.array(st["pend"]))
+        )
+
+    return F.aggregate(syms, init, step, fin)
+
+
+def corpus_bpe_merges(spark, sf_dir, n_merges: int = 8,
+                      vocab_words: int = _BPE_VOCAB_WORDS):
+    """Tokenizer training: learn BPE merges (Sennrich et al., ACL 2016
+    §3.2) from the corpus — the pass a pretraining pipeline runs after
+    `corpus_vocab`'s counting. Returns the merge table
+    (rank, left, right, merged), the artifact a tokenizer ships.
+
+    Scale shape — the textbook trick IS the Spark shape: BPE learns from
+    the WORD-FREQUENCY table, not the raw corpus. One corpus pass
+    aggregates (word, count) with map-side combine (the only corpus-sized
+    work); every merge round then runs over the ≤`vocab_words`-row word
+    table: adjacent symbol pairs come from an in-row zip of the symbol
+    array with its own tail, pair counts weight by word frequency and
+    partial-aggregate, and the argmax pair — deterministic (count desc,
+    pair asc) tiebreak — is ONE driver scalar per round, exactly the CC
+    loop's convergence-scalar discipline. The merge applies in-row (a
+    fold, no shuffle) and a per-round localCheckpoint truncates the
+    lineage like the CC rounds. At 10^12 docs nothing after the first
+    aggregation touches the corpus again.
+
+    Registry note: the oracle sweep is at its 50-entry cap, so this op is
+    pytest-witnessed (tests/test_curation.py pins the learned merges
+    against an independent pure-Python reference on the same corpus)."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.expr("filter(split(lower(coalesce(text, '')), ' '), "
+                       "w -> w rlike '^[a-z0-9]+$')")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(vocab_words)
+        .select(
+            "cnt",
+            F.concat(F.split("word", ""), F.array(F.lit("</w>"))).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(n_merges):
+        tail = F.expr("slice(syms, 2, greatest(size(syms) - 1, 0))")
+        head = F.expr("slice(syms, 1, greatest(size(syms) - 1, 0))")
+        pair = (
+            words.select("cnt", F.explode(F.arrays_zip(head, tail)).alias("p"))
+            .groupBy(
+                F.col("p")["0"].alias("left"), F.col("p")["1"].alias("right")
+            )
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not pair:
+            break
+        left, right = pair[0]["left"], pair[0]["right"]
+        merges.append((rank, left, right, left + right))
+        words = words.select(
+            "cnt",
+            _bpe_apply_merge(F.col("syms"), F.lit(left), F.lit(right)).alias(
+                "syms"
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string"
+    )
+
+
 def _curation_record_sql() -> str:
     """Compose the end-to-end decision-record oracle from the component
     oracles already in the registry — single source of truth, no SQL

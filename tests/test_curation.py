@@ -486,3 +486,59 @@ def test_sessionize_two_level_equals_flat_on_skewed_events(spark, tmp_path):
     # the bot really did cross bucket boundaries in one session
     bot = sorted(r for r in got if r[0] == 1)
     assert len(bot) == 2 and bot[0][3] > pq.SESSION_BUCKET_SEC  # duration
+
+
+def test_bpe_merges_match_pure_python_reference(spark, sf_dir):
+    """corpus_bpe_merges (iterative Spark merge learning over the word-
+    frequency table) must learn the exact merge table an independent
+    pure-Python BPE (Sennrich §3.2: count weighted adjacent pairs, argmax
+    with count-desc/pair-asc tiebreak, greedy non-overlapping apply)
+    learns from the same corpus."""
+    import re
+    from collections import Counter
+
+    from pdf_extractor_spark.pipeline_queries import corpus_bpe_merges, t
+
+    n_merges = 8
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"])
+        for r in corpus_bpe_merges(spark, sf_dir, n_merges=n_merges)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    texts = [r["text"] or "" for r in t(spark, sf_dir, "documents").collect()]
+    counts = Counter(
+        w
+        for txt in texts
+        for w in txt.lower().split(" ")
+        if re.fullmatch(r"[a-z0-9]+", w)
+    )
+    vocab = dict(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:2000]
+    )
+    seqs = {w: list(w) + ["</w>"] for w in vocab}
+    want = []
+    for rank in range(n_merges):
+        pair_counts = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += vocab[w]
+        if not pair_counts:
+            break
+        (left, right), _ = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        want.append((rank, left, right, left + right))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    assert got == want
+    assert len(got) == n_merges
