@@ -146,3 +146,20 @@ def test_star_cc_chain_and_dispatch(spark, monkeypatch):
     monkeypatch.setattr(pq, "_CC_DRIVER_EDGE_LIMIT", 0)  # force distributed
     assert _label_set(pq._connected_components_star(pairs, "a", "b")) == want
     assert _label_set(pq._connected_components(pairs, "a", "b")) == want
+
+
+def test_standalone_signatures_agree_with_fused_entry(spark, sf_dir):
+    """The fused dedup_signatures (one explode, one agg) must equal the
+    composition of the standalone MinHash and SimHash builders joined on
+    doc_id — the Spark-side counterpart of the oracle's two-CTE form, and
+    the proof that permutation mins really are duplicate-invariant."""
+    import pdf_extractor_spark.pipeline_queries as pq
+
+    fused = {tuple(r) for r in pq.dedup_signatures(spark, sf_dir).collect()}
+    composed = {
+        tuple(r)
+        for r in pq._minhash_signature_df(spark, sf_dir)
+        .join(pq._simhash_df(spark, sf_dir), "doc_id")
+        .collect()
+    }
+    assert fused == composed
