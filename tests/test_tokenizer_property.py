@@ -300,3 +300,15 @@ def test_png_predictor_all_filters_roundtrip(payload, columns, tag):
             enc.append((v - pred) & 0xFF)
         prev = row
     assert _apply_predictor(bytes(enc), 10 + tag, columns, 1, 8) == payload
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_ascii85_roundtrips_arbitrary_bytes(data):
+    """_ascii85_decode inverts the standard Adobe encoding (incl. the 'z'
+    zero-group shorthand and partial final groups) for arbitrary payloads."""
+    import base64
+
+    from pdf_extractor_spark.pdf.tokenizer import _ascii85_decode
+
+    assert _ascii85_decode(base64.a85encode(data) + b"~>") == data
