@@ -244,28 +244,10 @@ def main() -> None:
         ext = run_extract(spark, corpus, partitions)
         spark.stop()
     else:
-        # The extraction legs run in a FRESH JVM after the query JVM is
-        # fully stopped: measured in round 3, the heavy EXTENDED queries
-        # leave enough heap garbage behind that extraction timings in the
-        # same JVM swing 3.2 → 17.7 s run-to-run, and even an idle query
-        # JVM alongside the child costs ~4x (18.8 s vs 4.2 s solo — two
-        # large heaps contending). On a cluster these workloads live in
-        # separate executors; a stopped parent + subprocess reproduces
-        # that isolation. The child reuses the materialized corpus cache,
-        # so the extra cost is one JVM spin-up outside any timed section.
+        # `ext` was measured by the PRE-query child at the top of main() —
+        # the only JVM state it saw was its own (the query session had not
+        # even started). Nothing to re-run here; the parent just stops.
         spark.stop()
-        cmd = [sys.executable, os.path.abspath(__file__), "--extract-only",
-               "--cpus", str(args.cpus), "--sf-dir", args.sf_dir]
-        if args.n_docs is not None:
-            cmd += ["--n-docs", str(args.n_docs)]
-        with open("/tmp/bench_extract_child.err", "w") as errf:
-            child = subprocess.run(cmd, stdout=subprocess.PIPE,
-                                   stderr=errf, text=True, check=True)
-        child_json = json.loads(child.stdout.strip().splitlines()[-1])
-        ext = {"docs": child_json["extract_docs"],
-               "seconds": child_json["queries"]["extract_pipeline"],
-               "docs_per_sec": child_json["docs_per_sec"],
-               "legs": child_json.get("extract_legs", [])}
     queries["extract_pipeline"] = round(ext["seconds"], 3)
 
     total = round(sum(queries.values()), 3)

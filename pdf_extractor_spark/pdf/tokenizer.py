@@ -597,9 +597,17 @@ class IdentityCIDEncoding:
     recovery is impossible in general. Best effort, replacing the previous
     whole-run suppression:
 
-    * if every CID lands in printable ASCII (0x20-0x7E), the generator used
-      char codes as glyph ids (common for trivially-subsetted fonts) —
-      decode directly;
+    * if the CID run READS AS TEXT under the chars-as-codes hypothesis —
+      every CID printable ASCII, at least 4 symbols, letters ≥ 2/3 of the
+      run, and a vowel present — the generator used char codes as glyph
+      ids (common for trivially-subsetted fonts) and it decodes directly.
+      The text-shape gate exists because real subset fonts assign glyph
+      ids in usage order, so a font with > 32 glyphs can legitimately put
+      arbitrary ids in 0x20-0x7E: a bare printable-range check would leak
+      short garbage like '(AV' into the text layer as kind='text'. The
+      gate is still a heuristic — a long all-letter glyph-id run would
+      pass — but usage-order ids look like '(A V+;' (mixed punctuation,
+      sub-2/3 letters), which it rejects;
     * otherwise return the typed :data:`_UNPARSED` marker so the run emits
       a ``kind='unparsed'`` span (position + extent preserved, no mojibake
       in the text layer)."""
@@ -615,7 +623,13 @@ class IdentityCIDEncoding:
         ]
         if not cids:
             return ""
-        if all(0x20 <= c <= 0x7E for c in cids):
+        if (
+            len(cids) >= 4
+            and all(0x20 <= c <= 0x7E for c in cids)
+            and sum(1 for c in cids if chr(c).isalpha() or c == 0x20) * 3
+            >= len(cids) * 2
+            and any(chr(c) in "aeiouAEIOU" for c in cids)
+        ):
             return "".join(chr(c) for c in cids)
         return _UNPARSED
 

@@ -1490,14 +1490,37 @@ def _min_parallelism(df, spark):
     input. At production scale the input has thousands of natural splits,
     the branch is not taken, and no exchange is added.
 
-    The split estimate is `inputFiles()` (a file listing), NOT
+    The split estimate comes from `inputFiles()` (a file listing), NOT
     `df.rdd.getNumPartitions()`: converting to an RDD builds the full RDD
     lineage for the plan on every call — pure driver-side waste for a
-    guard whose production branch never fires. A many-split single file
-    underestimates and adds one redundant exchange on a small input;
-    non-file sources list zero files and also take the safe branch."""
+    guard whose production branch never fires. File COUNT alone is not
+    enough: Spark bin-packs many small files into few scan partitions
+    (maxPartitionBytes / openCostInBytes), so 32 tiny part files can still
+    serialize onto ~2 cores. For local paths the packing estimate below
+    replicates FilePartition's formula from the listed sizes; non-local /
+    non-file sources fall back to the file count (and zero files — an
+    in-memory relation — takes the safe repartition branch). A many-split
+    single large file underestimates and adds one redundant exchange on a
+    small input; acceptable for a small-input guard."""
     goal = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < goal:
+    files = df.inputFiles()
+    est = len(files)
+    local = [f[5:] if f.startswith("file:") else f for f in files
+             if f.startswith(("file:", "/"))]
+    if local and len(local) == len(files):
+        try:
+            def _bytes_conf(key, default):
+                v = str(spark.conf.get(key, str(default)))
+                digits = "".join(ch for ch in v if ch.isdigit())
+                return int(digits) if digits else default
+
+            max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
+            open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 << 20)
+            total = sum(os.path.getsize(f) for f in local)
+            est = min(est, -(-(total + len(local) * open_cost) // max_pb))
+        except OSError:
+            pass  # listing raced a writer: keep the file-count estimate
+    if est < goal:
         return df.repartition(goal)
     return df
 
@@ -2066,12 +2089,16 @@ def _decon_hits(d):
     the relation USUALLY stays broadcastable at corpus scale. Shared by
     corpus_decontaminate and the fused curation record.
 
-    Returned persisted + counted so the broadcast hint is size-gated: under
-    heavy contamination (a benchmark that leaked wholesale into a crawl)
-    the hit relation tracks corpus size and a forced hint would OOM the
-    driver; past _BROADCAST_ROW_LIMIT it goes unhinted and AQE falls back
-    to the doc_id shuffle join. The persist means the count does not re-run
-    the gram join for the consumer."""
+    Returned materialized (eager localCheckpoint) + counted so the
+    broadcast hint is size-gated: under heavy contamination (a benchmark
+    that leaked wholesale into a crawl) the hit relation tracks corpus
+    size and a forced hint would OOM the driver; past _BROADCAST_ROW_LIMIT
+    it goes unhinted and AQE falls back to the doc_id shuffle join.
+    localCheckpoint rather than persist(): a persist pins a cache entry
+    nobody ever unpersists (one leak per invocation in a long-lived
+    session), while checkpoint blocks are released by the ContextCleaner
+    when the relation is garbage collected — and the count reads the
+    materialized blocks either way, never re-running the gram join."""
     toks = d.select(
         "doc_id",
         F.expr("filter(split(lower(text), ' '), w -> w != '')").alias("l"),
@@ -2089,7 +2116,7 @@ def _decon_hits(d):
         corp_grams.join(F.broadcast(bench_grams), "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     return _hint_if_dim(hits, hits.count())
 
@@ -2657,10 +2684,25 @@ def stream_curation_batch(spark, sf_dir):
     registered component oracles, so the green hash IS the stream≡batch
     equivalence claim (gate columns share one implementation with
     corpus_curation_record — see curation_stream's docstring)."""
+    import glob
+    import shutil
     import tempfile
+    import time as _time
 
     from pdf_extractor_spark.streaming.curation import run_curation_stream
 
+    # each invocation makes a fresh checkpoint dir (deliberate: resumed
+    # state would dedup across driver re-runs and change the result); the
+    # returned DataFrame lazily reads the new dir, so cleanup can only
+    # happen on the NEXT call — sweep prior runs' dirs, keeping anything
+    # younger than 30 min in case a parallel harness still reads it
+    cutoff = _time.time() - 1800
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), "stream_curation_*")):
+        try:
+            if os.path.getmtime(old) < cutoff:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
     out_dir = tempfile.mkdtemp(prefix="stream_curation_")
     # the file-stream source needs a DIRECTORY (basePath); the sf tables are
     # single parquet files, so stage a symlink dir

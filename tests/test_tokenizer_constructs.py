@@ -496,6 +496,19 @@ def test_cid_font_without_tounicode_emits_typed_unparsed_span():
     assert (round(unparsed[0]["x0"], 1), round(unparsed[0]["y0"], 1)) == (50.0, 700.0)
 
 
+def test_identity_h_short_printable_garbage_stays_unparsed():
+    # usage-order glyph ids that happen to land in printable ASCII must NOT
+    # leak into the text layer: '(AV' (0x28 0x41 0x56) fails the text-shape
+    # gate (too short, letters < 2/3) and emits a typed unparsed span
+    font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/GGGGGG+Sub "
+            b"/Encoding/Identity-H >> endobj")
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <002800410056> Tj ET"
+    pdf = _pdf_with_font(ops, [font], b"/F1 10 0 R")
+    result = tokenize_pdf(pdf)
+    assert _texts(result) == []
+    assert [s["kind"] for s in result["spans"]] == ["unparsed"]
+
+
 def test_identity_h_ascii_cids_decode_without_tounicode():
     # generators that subset trivially keep char codes as glyph ids: every
     # CID in printable ASCII → best-effort direct decode
