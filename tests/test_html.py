@@ -116,3 +116,62 @@ def test_utf8_content():
             + "</p>").encode("utf-8")
     spans = tokenize_html(page)["spans"]
     assert spans and "Acentuação" in spans[0]["text"]
+
+
+# ---------------------------------------------------------------------------
+# Fast-scanner equivalence (production regex scanner vs stdlib html.parser)
+# ---------------------------------------------------------------------------
+
+_ADVERSARIAL = [
+    b"<p>hello &amp; goodbye</p>",
+    b"<p>a < b and c>d</p>",
+    b"<P CLASS='x'>UPPER TAG <IMG SRC='pic.png'/></P>",
+    b'<img src="a&amp;b.png">',
+    b'<img alt="x" src="1.png" src="2.png">',  # last duplicate attr wins
+    b"<script>var x = '<div>not a tag</div>';</script><p>after " + b"word " * 12 + b"</p>",
+    b"<style>p>span{color:red}</style><p>real " + b"word " * 12 + b"</p>",
+    b"<!-- comment <p>hidden</p> --><p>seen " + b"word " * 12 + b"</p>",
+    b"<!DOCTYPE html><html><body><p>" + b"word " * 15 + b"</p></body></html>",
+    b"<p>one</p >\n<p>two " + b"word " * 12 + b"</p>",
+    b"<p>quoted gt <a href='x>y'>link text</a> tail " + b"word " * 12 + b"</p>",
+    b"<ul><li>item one here now</li><li>item two also here</li></ul>",
+    b"<p>text &#65;&#x42; refs " + b"word " * 12 + b"</p>",
+    b"<p>unterminated <script>var x=1;",
+    b"<td>cell</td><td>more</td>",
+    b"<br><br/><p>" + b"word " * 12 + b"</p>",
+    b"<nav><a href='/'>home</a> <a href='/x'>x</a></nav><p>" + b"word " * 12 + b"</p>",
+    "<p>é accented não ".encode("utf-8") + b"word " * 12 + b"</p>",
+    b"<p>a\n<\nb " + b"word " * 12 + b"</p>",
+    b"<svg><text>vector label</text></svg><p>" + b"word " * 12 + b"</p>",
+    b"<noscript><p>no js</p></noscript><p>" + b"word " * 12 + b"</p>",
+    b"<?php echo 'x'; ?><p>" + b"word " * 12 + b"</p>",
+    b"<![CDATA[ raw <p>x</p> ]]><p>" + b"word " * 12 + b"</p>",
+    b"</p></div><p>" + b"word " * 12 + b"</p>",
+    b"<p attr=>empty attr " + b"word " * 12 + b"</p>",
+    b"<a href=bare>bare " + b"word " * 12 + b"</a>",
+]
+
+
+def test_fast_scanner_equivalence():
+    """The production regex scanner must emit the exact span output of the
+    stdlib html.parser reference path, over the synthetic corpus generator
+    AND an adversarial battery (quoted '>', CDATA elements, charrefs, bogus
+    '<', duplicate attrs, PIs, comments). Both drive the same _Sink, so any
+    diff is an event-generation bug."""
+    import random
+
+    from pdf_extractor_spark.corpus import make_html
+
+    rng = random.Random(20260818)
+    pages = [make_html(rng, rng.randint(1, 12), rng.randint(0, 3)) for _ in range(150)]
+    for page in pages + _ADVERSARIAL:
+        assert tokenize_html(page, fast=True) == tokenize_html(page, fast=False), page[:120]
+
+
+def test_fast_scanner_eof_truncation_follows_html5():
+    """Documented divergence: markup left open at EOF (truncated crawl
+    payloads). HTML5 EOF tokenizer rules drop the unterminated fragment;
+    stdlib html.parser recovers it as text. The fast scanner follows the
+    spec — pin that choice."""
+    assert tokenize_html(b"<p>unterminated <b", fast=True)["spans"] == []
+    assert tokenize_html(b"<p>unterminated comment <!-- oops", fast=True)["spans"] == []
