@@ -751,14 +751,18 @@ def _decode_hex_string(raw: bytes, enc_map=None) -> str:
 
 # --- content-stream tokenizer ----------------------------------------------
 
+# Alternatives ordered by measured token frequency (numbers ≫ operators ≫
+# strings ≫ names); every alternative starts with a distinct character
+# class, so the order changes only how fast the engine dispatches, never
+# which alternative matches at a given position.
 _TOKEN_RE = re.compile(
     rb"""
-    (?P<str>\((?:\\.|[^\\()])*\))      # literal string (no nested parens)
-  | (?P<hexstr><[0-9A-Fa-f\s]*>)      # hex string
-  | (?P<name>/[^\s/\[\]<>()]+)        # name
-  | (?P<num>[-+]?\d*\.?\d+)           # number
-  | (?P<arr>[\[\]])                   # array delimiters
+    (?P<num>[-+]?\d*\.?\d+)           # number
   | (?P<op>[A-Za-z'"][A-Za-z0-9*'"]*) # operator
+  | (?P<str>\((?:\\.|[^\\()])*\))      # literal string (no nested parens)
+  | (?P<name>/[^\s/\[\]<>()]+)        # name
+  | (?P<arr>[\[\]])                   # array delimiters
+  | (?P<hexstr><[0-9A-Fa-f\s]*>)      # hex string
     """,
     re.VERBOSE,
 )
@@ -898,7 +902,11 @@ def _run_content(
         idx = m.lastindex
         tok = m.group()
         if idx == I_NUM:
-            cur.append(float(tok))
+            # inside a [ ] (TJ text array) the numbers are kern offsets this
+            # interpreter never consumes — string_parts() filters to str —
+            # so skip the float() for them; stack-level numbers convert
+            # because cm/Tm/Td/Tf read them as operands
+            cur.append(float(tok) if cur is stack else tok)
         elif idx == I_STR:
             cur.append(_decode_pdf_string(tok[1:-1], cur_enc))
         elif idx == I_NAME:
@@ -924,62 +932,61 @@ def _run_content(
                 )
             except ValueError:
                 cur.append("")
-        else:  # operator
-            op = tok.decode("latin-1")
+        else:  # operator — compared as raw bytes (no decode on the hot path)
             try:
-                if op == "q":
+                if tok == b"q":
                     gs_stack.append(ctm)
-                elif op == "Q":
+                elif tok == b"Q":
                     ctm = gs_stack.pop() if gs_stack else base_ctm
-                elif op == "cm" and len(stack) >= 6:
+                elif tok == b"cm" and len(stack) >= 6:
                     mat = tuple(stack[-6:])
                     ctm = _mat_mul(mat, ctm)
-                elif op == "BT":
+                elif tok == b"BT":
                     in_text = True
                     tm = tlm = _IDENTITY
-                elif op == "ET":
+                elif tok == b"ET":
                     in_text = False
-                elif op == "Tf" and len(stack) >= 2:
+                elif tok == b"Tf" and len(stack) >= 2:
                     font_size = float(stack[-1])
                     fname = stack[-2]
                     if isinstance(fname, str) and fname.startswith("/"):
                         cur_enc = font_encodings.get(fname[1:])
-                elif op == "TL" and stack:
+                elif tok == b"TL" and stack:
                     leading = float(stack[-1])
-                elif op == "Tc" and stack:
+                elif tok == b"Tc" and stack:
                     char_spacing = float(stack[-1])
-                elif op == "Tw" and stack:
+                elif tok == b"Tw" and stack:
                     word_spacing = float(stack[-1])
-                elif op == "Tz" and stack:
+                elif tok == b"Tz" and stack:
                     hscale = float(stack[-1]) / 100.0
-                elif op == "Tm" and len(stack) >= 6:
+                elif tok == b"Tm" and len(stack) >= 6:
                     tm = tlm = tuple(stack[-6:])
-                elif op == "Td" and len(stack) >= 2:
+                elif tok == b"Td" and len(stack) >= 2:
                     tlm = _mat_mul((1, 0, 0, 1, stack[-2], stack[-1]), tlm)
                     tm = tlm
-                elif op == "TD" and len(stack) >= 2:
+                elif tok == b"TD" and len(stack) >= 2:
                     leading = -float(stack[-1])
                     tlm = _mat_mul((1, 0, 0, 1, stack[-2], stack[-1]), tlm)
                     tm = tlm
-                elif op == "T*":
+                elif tok == b"T*":
                     tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
                     tm = tlm
-                elif op == "Tj" and stack and in_text:
+                elif tok == b"Tj" and stack and in_text:
                     emit_text(string_parts(stack[-1]))
-                elif op == "TJ" and stack and in_text:
+                elif tok == b"TJ" and stack and in_text:
                     emit_text(string_parts(stack[-1]))
-                elif op == "'" and stack and in_text:
+                elif tok == b"'" and stack and in_text:
                     tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
                     tm = tlm
                     emit_text(string_parts(stack[-1]))
-                elif op == '"' and len(stack) >= 3 and in_text:
+                elif tok == b'"' and len(stack) >= 3 and in_text:
                     # aw ac (string) " — sets Tw and Tc, then shows (§9.4.3)
                     word_spacing = float(stack[-3])
                     char_spacing = float(stack[-2])
                     tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
                     tm = tlm
                     emit_text(string_parts(stack[-1]))
-                elif op == "Do" and stack:
+                elif tok == b"Do" and stack:
                     name = stack[-1]
                     if isinstance(name, str) and name.startswith("/"):
                         ref = name[1:]
