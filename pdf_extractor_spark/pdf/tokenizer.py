@@ -8,7 +8,7 @@ scale, so this is a from-scratch reimplementation of the subset of the PDF
 imaging model the corpus needs).
 
 Supported (validated against all six reference fixtures plus synthetic
-corpora): Flate/LZW/ASCIIHex streams incl. TIFF+PNG ``/Predictor``
+corpora): Flate/LZW/ASCIIHex/ASCII85/RunLength streams incl. TIFF+PNG ``/Predictor``
 post-filters, literal strings with octal/char escapes, hex strings with a
 multi-byte-CID guard (UTF-16BE BOM honored; /ToUnicode bfchar/bfrange
 CMaps decode 2-byte CID runs, unmapped glyph-index runs are suppressed
@@ -351,6 +351,31 @@ def _ascii85_decode(data: bytes) -> Optional[bytes]:
     return bytes(out)
 
 
+def _runlength_decode(data: bytes) -> Optional[bytes]:
+    """PDF RunLengthDecode (PDF 32000-1 §7.4.5): length byte L then either
+    L+1 literal bytes (L ≤ 127) or one byte repeated 257−L times (L ≥ 129);
+    128 is EOD. Truncated runs → malformed (None)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            return bytes(out)
+        if length < 128:
+            j = i + length + 1
+            if j > n:
+                return None
+            out += data[i:j]
+            i = j
+        else:
+            if i >= n:
+                return None
+            out += data[i : i + 1] * (257 - length)
+            i += 1
+    return bytes(out)  # EOD marker absent: tolerate EOF-terminated data
+
+
 _FILTER_VALUE_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 
@@ -359,12 +384,13 @@ _FILTER_FNS = {
     b"LZWDecode": _lzw_decode, b"LZW": _lzw_decode,
     b"ASCIIHexDecode": _asciihex_decode, b"AHx": _asciihex_decode,
     b"ASCII85Decode": _ascii85_decode, b"A85": _ascii85_decode,
+    b"RunLengthDecode": _runlength_decode, b"RL": _runlength_decode,
 }
 
 
 def _decode_stream(dict_bytes: bytes, stream: bytes) -> Optional[bytes]:
     """Apply the stream's /Filter pipeline IN ORDER (PDF 32000-1 §7.4):
-    Flate, LZW, ASCIIHex and ASCII85 (plus their abbreviations), including
+    Flate, LZW, ASCIIHex, ASCII85 and RunLength (plus abbreviations), including
     chains like [/ASCII85Decode /FlateDecode] — the common
     transport-encoding + compression pairing. /Predictor post-processing
     applies after the decompression filter, i.e. at the end of the chain.

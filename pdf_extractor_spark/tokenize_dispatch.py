@@ -113,9 +113,16 @@ def assemble_doc(tok: Dict[str, Any]) -> Dict[str, Any]:
     for i, s in enumerate(spans):
         s["offset"] = i
     joined = "\n".join(s["text"] for s in spans if s["kind"] == "text")
-    words = _WS.split(joined)
-    if len(words) > TRUNCATE_WORDS:
-        full_text = " ".join(words[:TRUNCATE_WORDS]) + TRUNCATE_SENTINEL
+    # a string of length L splits into at most floor((L+3)/2) tokens
+    # (1-char words, single separators, leading+trailing whitespace both
+    # counted as empty tokens by re.split) — when that bound cannot exceed
+    # TRUNCATE_WORDS, i.e. L <= 2*N-2, skip the whole-text split entirely
+    if len(joined) > 2 * TRUNCATE_WORDS - 2:
+        words = _WS.split(joined)
+        if len(words) > TRUNCATE_WORDS:
+            full_text = " ".join(words[:TRUNCATE_WORDS]) + TRUNCATE_SENTINEL
+        else:
+            full_text = joined
     else:
         full_text = joined
     return {

@@ -568,3 +568,52 @@ def test_ascii85_decoder_edges():
         p = bytes(range(n))
         assert _ascii85_decode(base64.a85encode(p) + b"~>") == p
     assert _ascii85_decode(b"\x80bad~>") is None
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Straightforward §7.4.5 encoder (literal runs + repeats) for tests."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j > i:  # run of equal bytes
+            out += bytes([257 - (j - i + 1), data[i]])
+            i = j + 1
+            continue
+        j = i
+        while (j + 1 < n and data[j + 1] != data[j] and j - i < 126) or j == i:
+            j += 1
+            if j >= n:
+                break
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    out.append(128)
+    return bytes(out)
+
+
+def test_runlength_content_stream():
+    ops = BASIC
+    stream = _rle_encode(ops)
+    pdf = _pdf(ops, compress=False, filter_entry=b"/Filter /RunLengthDecode")
+    pdf = pdf.replace(
+        b"<< /Length %d /Filter /RunLengthDecode >> stream\n%s\nendstream"
+        % (len(ops), ops),
+        b"<< /Length %d /Filter /RunLengthDecode >> stream\n%s\nendstream"
+        % (len(stream), stream),
+    )
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["hello"]
+
+
+def test_runlength_decoder_edges():
+    from pdf_extractor_spark.pdf.tokenizer import _runlength_decode
+
+    assert _runlength_decode(_rle_encode(b"")) == b""
+    for p in (b"abc", b"aaaaaaab", b"x" * 300, bytes(range(256)) * 3):
+        assert _runlength_decode(_rle_encode(p)) == p
+    assert _runlength_decode(b"\xfeZ\x80") == b"Z" * 3     # 257-254 repeats
+    assert _runlength_decode(b"\x02abc\x80") == b"abc"     # literal run
+    assert _runlength_decode(b"\x02abc") == b"abc"         # tolerated: no EOD
+    assert _runlength_decode(b"\x05ab") is None            # truncated literal
+    assert _runlength_decode(b"\xfe") is None              # truncated repeat

@@ -312,3 +312,38 @@ def test_ascii85_roundtrips_arbitrary_bytes(data):
     from pdf_extractor_spark.pdf.tokenizer import _ascii85_decode
 
     assert _ascii85_decode(base64.a85encode(data) + b"~>") == data
+
+
+def test_truncation_length_guard_boundary():
+    """assemble_doc skips the whole-text split when the text is provably
+    under the truncation bound (len <= 2*TRUNCATE_WORDS - 2; re.split's
+    leading/trailing empty tokens counted). Sweep the boundary against the
+    unguarded reference semantics."""
+    import re
+
+    from pdf_extractor_spark.assemble import TRUNCATE_SENTINEL, TRUNCATE_WORDS
+
+    ws = re.compile(r"\s+")
+
+    def reference(joined: str) -> str:
+        words = ws.split(joined)
+        if len(words) > TRUNCATE_WORDS:
+            return " ".join(words[:TRUNCATE_WORDS]) + TRUNCATE_SENTINEL
+        return joined
+
+    def doc(text: str) -> dict:
+        return {
+            "page_width": 0.0, "page_height": 0.0,
+            "spans": [{"kind": "text", "text": text, "media_ref": None,
+                       "x0": 0.0, "y0": 0.0, "x1": 0.0, "y1": 0.0,
+                       "size": 1.0}],
+        }
+
+    n = TRUNCATE_WORDS
+    cases = ["", " ", "x", "word " * 900, " " + "a " * (n - 1) + " "]
+    base = "a " * (n + 4)  # worst case: 1-char words, maximal token yield
+    for length in range(2 * n - 6, 2 * n + 6):
+        cases.append((" " + base)[:length])
+        cases.append(base[:length])
+    for text in cases:
+        assert assemble_doc(doc(text))["full_text"] == reference(text)
