@@ -27,10 +27,11 @@ byte-identical span sequences (golden-tested on the reference fixtures).
 
 from __future__ import annotations
 
+import itertools
 import re
 import struct
 from decimal import ROUND_HALF_UP, Decimal
-from typing import Any, Dict
+from typing import Any, Dict, List
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
@@ -118,9 +119,17 @@ def assemble_doc(tok: Dict[str, Any]) -> Dict[str, Any]:
     # counted as empty tokens by re.split) — when that bound cannot exceed
     # TRUNCATE_WORDS, i.e. L <= 2*N-2, skip the whole-text split entirely
     if len(joined) > 2 * TRUNCATE_WORDS - 2:
-        words = _WS.split(joined)
-        if len(words) > TRUNCATE_WORDS:
-            full_text = " ".join(words[:TRUNCATE_WORDS]) + TRUNCATE_SENTINEL
+        # equivalent to `words = _WS.split(joined); words[:N]` but scans only
+        # the prefix holding the first N separators: split token k is the
+        # segment before separator k, and len(words) > N iff N separators
+        # exist. A megabyte doc pays O(N words), not an O(doc) token list.
+        parts: List[str] = []
+        prev = 0
+        for m in itertools.islice(_WS.finditer(joined), TRUNCATE_WORDS):
+            parts.append(joined[prev : m.start()])
+            prev = m.end()
+        if len(parts) == TRUNCATE_WORDS:
+            full_text = " ".join(parts) + TRUNCATE_SENTINEL
         else:
             full_text = joined
     else:
