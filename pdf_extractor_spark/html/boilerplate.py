@@ -53,6 +53,9 @@ class _Block:
 
 
 _WS_RUN = re.compile(r"\s+")
+# any whitespace that the collapse would actually change: a run of two, or
+# any single whitespace char that is not a plain space
+_WS_ODD = re.compile(r"\s\s|[^\S ]")
 
 
 class _Sink:
@@ -111,7 +114,12 @@ class _Sink:
     def data(self, data: str) -> None:
         if self._skip:
             return
-        text = _WS_RUN.sub(" ", data)
+        # collapse only when needed: most chunks are already single-spaced
+        # words, and the no-op sub still scans + allocates a copy
+        if _WS_ODD.search(data) is None:
+            text = data
+        else:
+            text = _WS_RUN.sub(" ", data)
         if not text.strip():
             return
         b = self._block()
