@@ -40,7 +40,7 @@ import os
 import shutil
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark.schema import CHECKPOINT_SCHEMA
@@ -117,15 +117,23 @@ def write_checkpoint(
         byte_count.alias("byte_count"),
         F.current_timestamp().alias("committed_at"),
     )
+    already_n = 0
     ckpt = read_checkpoint(spark, output_dir)
     if ckpt is not None:
         already = ckpt.where(F.col("run_id") == run_id).select("doc_id")
         if not already.isEmpty():
+            already_n = already.count()  # retry path only; ckpt is small
             lineage = lineage.join(already, "doc_id", "left_anti")
             if lineage.isEmpty():
                 return spark.read.parquet(run_path).count()
+    # the commit count rides the lineage write itself (observe) — the old
+    # `read.parquet(run_path).count()` re-scanned the just-written output a
+    # SECOND time purely to return a number; at production scale that is a
+    # full extra pass over the run's output files
+    obs = Observation(f"ckpt_{run_id}")
+    lineage = lineage.observe(obs, F.count(F.lit(1)).alias("n"))
     lineage.write.mode("append").parquet(checkpoint_path(output_dir))
-    return spark.read.parquet(run_path).count()
+    return int(obs.get["n"]) + already_n
 
 
 def _runs_on_disk(output_dir: str, table: str = SPANS_DIR) -> List[str]:
