@@ -897,8 +897,10 @@ def _run_content(
             if not any(isinstance(p, _UnparsedText) for p in parts):
                 return
             unparsed = True
-        # device-space origin of the text run
-        m = _mat_mul(tm, ctm)
+        # device-space origin of the text run; identity CTM (the common case
+        # for page-level text between q..cm..Q image groups) short-circuits —
+        # q/Q restore the same tuple object, so the `is` test stays valid
+        m = tm if ctm is _IDENTITY else _mat_mul(tm, ctm)
         if m[1] != 0.0 or m[2] != 0.0 or m[0] <= 0.0 or m[3] <= 0.0:
             # rotated/mirrored run (e.g. watermark glyphs) — not part of the
             # upright reading-order text layer (FIXTURES.md §4 golden contract)
