@@ -347,3 +347,30 @@ def test_truncation_length_guard_boundary():
         cases.append(base[:length])
     for text in cases:
         assert assemble_doc(doc(text))["full_text"] == reference(text)
+
+
+# Byte soup biased toward the constructs the header scan dispatches on:
+# digit runs, whitespace, 'obj'/'endobj' fragments, stream markers.
+_SOUP_CHUNKS = st.sampled_from(
+    [b"obj", b"endobj", b" obj", b"1 2 obj", b"stream", b"12", b"345",
+     b" ", b"\n", b"\r\n", b"<<", b">>", b"/Length", b"0" * 40, b"9 " * 20,
+     b"objX", b"xobj", b"7\t8 obj", b"obj\n"]
+)
+
+
+@given(st.lists(st.binary(max_size=12) | _SOUP_CHUNKS, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_obj_header_scan_equals_forward_regex(chunks):
+    """The anchored ``obj``-first header scan (the hot-path replacement for
+    a forward ``(\\d+)\\s+(\\d+)\\s+obj`` sweep) must yield the identical
+    (obj_num, header_end) sequence as the forward regex on arbitrary byte
+    soup — including digit runs longer than the backward window, headers at
+    offset 0, and 'obj' inside 'endobj'/'xobject' tokens."""
+    import re
+
+    from pdf_extractor_spark.pdf.tokenizer import _iter_obj_headers
+
+    data = b"".join(chunks)
+    forward = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+    expect = [(int(m.group(1)), m.end()) for m in forward.finditer(data)]
+    assert list(_iter_obj_headers(data)) == expect
