@@ -171,17 +171,40 @@ def _classify(b: _Block) -> bool:
 # Fast regex scanner (the production event generator)
 # ---------------------------------------------------------------------------
 # One alternation, ordered by specificity; quoted attribute values may
-# contain '>' (the start-tag attr body uses first-char-disjoint branches,
-# so the scan is linear — no backtracking blowup on crafted input).
+# contain '>'. The attr body's branches are first-char-disjoint AND
+# possessive (*+ / ++, Python 3.11 re): a failed tag match — e.g. an
+# unterminated quoted attribute in a truncated crawl payload — fails in
+# linear time instead of re-partitioning the plain-char runs
+# exponentially (the (a+)* classic; measured 4.5 s at 24 chars and
+# doubling per char with the backtracking form).
+# Comment close is --\s*> (what html.parser's _commentclose accepts, so
+# '<!-- x -- >' closes in both). A comment or marked section whose close
+# never appears matches the zero-width (cbad|dbad) branch and is handled
+# in _scan_fast: stdlib emits '<'..first '>' as one raw data chunk and
+# resumes — which is also what makes the HTML5 abrupt closes <!--> and
+# <!---> come out identically in both parsers — while EOF truncation
+# (no '>' left at all) keeps the pinned HTML5 drop-the-fragment rule.
 _MARKUP_RE = re.compile(
     r"""<(?:
-        !--.*?(?:-->|$)                                   # comment
-      | !\[CDATA\[.*?(?:\]\]>|$)                          # CDATA (dropped)
-      | [!?][^>]*(?:>|$)                                  # doctype / decl / PI
-      | /\s*([a-zA-Z][a-zA-Z0-9.:_-]*)[^>]*(?:>|$)        # end tag
-      | ([a-zA-Z][a-zA-Z0-9.:_-]*)                        # start tag name
-        ((?:[^>"'/]+|"[^"]*"|'[^']*'|/(?!>))*)            #   attr body
-        (/?)(?:>|$)                                       #   self-closing?
+        !--(?:.*?--\s*>|(?P<cbad>))                       # comment (unterminated/abrupt → bad-decl path)
+      | !\[CDATA\[(?:.*?\]\]>|(?P<dbad>))                 # CDATA, dropped (unterminated → bad-decl path)
+      | [!?](?!--)[^>]*(?:>|$)                            # doctype / decl / PI
+      | /\s*(?P<end>[a-zA-Z][^\s/>\x00]*+)[^>]*(?:>|$)    # end tag (loose stdlib name class)
+      | /(?![a-zA-Z])[^>]*(?:>|$)                         # bogus end tag (</>, </ >, </1>): consumed, no event
+      | (?P<tag>[a-zA-Z][^\s/>\x00]*+)                    # start tag name (stdlib tagfind_tolerant class — '<' and quotes are name chars)
+        (?P<attrs>(?:\s++                                 #   attr body:
+          |(?<=[^\s>/='"])=++\s*+"[^"]*+"                 #   '='+ after a name char opens a quoted value...
+          |(?<=[^\s>/='"])=++\s*+'[^']*+'
+          |(?<=[^\s>/='"])=++(?![\s'"])[^>\s]*+           #   ...or a bare one directly attached ('<', '/', '=' are value chars, so 'a=b/>' is NOT self-closing)
+          |(?<=[^\s>/='"])=++(?=\s++['"])\s++             #   '=' + ws + unterminated quote: EMPTY value, the quote starts a junk name (closed quotes matched above)
+          |(?<=[^\s>/='"])=++\s++(?!['"])[^>\s]*+         #   '=' + ws + bare value
+          |(?<=[^\s>/='"])==++(?=['"])[^>\s]*+            #   '=='+quote: stdlib backtracks =+ and bare-reads '=<quote>...' — only a SINGLE '=' + directly-attached unterminated quote fails the tag
+          |(?<![^\s>/='"])=                               #   '=' after ws or a quote-close is a plain name char (stdlib tolerant grammar)
+          |/(?!>)
+          |[^\s>/=]++                                     #   name / bare-value chars — quotes are plain here too
+        )*+)
+        (?P<sc>/?)(?:>|$)                                 #   self-closing?
+      | (?=[a-zA-Z])(?P<tbad>)                            # start tag the grammar rejects (unterminated quote): stdlib-style recovery
     )""",
     re.DOTALL | re.VERBOSE,
 )
@@ -189,13 +212,17 @@ _MARKUP_RE = re.compile(
 # lowercased, values unquoted + charref-decoded, LAST duplicate wins, exactly
 # what html.parser hands handle_starttag
 _ATTR_RE = re.compile(
-    r"""([^\s/=>]+)(?:\s*=\s*("[^"]*"|'[^']*'|[^\s>]*))?""", re.DOTALL
+    r"""([^\s/=>]+)(?:\s*=+\s*("[^"]*"|'[^']*'|(?!['"])[^\s>]*))?""", re.DOTALL
 )
 # script/style are CDATA elements: stdlib swallows everything (tags included)
-# until a literal matching close tag — replicate with a direct search
+# until a REAL matching close tag — its endtagfind requires '</', optional
+# whitespace, the exact name, optional whitespace, '>' (so '</scriptTag>'
+# or '</scripts>' stays swallowed CDATA, as does '</script foo>'); a bare
+# prefix search would end the element early and leak script source into
+# the extracted text
 _CDATA_CLOSE = {
-    "script": re.compile(r"</\s*script", re.IGNORECASE),
-    "style": re.compile(r"</\s*style", re.IGNORECASE),
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
 }
 
 
@@ -215,21 +242,50 @@ def _parse_attrs(body: str) -> List:
     return attrs
 
 
+def _emit_text(text: str, sink: _Sink) -> None:
+    """Emit a raw text run with stdlib html.parser's chunk boundaries.
+
+    stdlib emits each bogus '<' as its own 1-char data chunk with the text
+    around it in separate chunks; the boundaries are sink-visible because a
+    whitespace-ONLY chunk is dropped entirely ('a < < b' keeps the middle
+    space in one big chunk but loses it as a stdlib-split chunk, yielding
+    'a << b'). Charrefs decode per piece, exactly as convert_charrefs
+    decodes per data chunk (an &lt; produced by decoding is data, never a
+    chunk boundary, in both parsers)."""
+    if "<" not in text:
+        sink.data(unescape(text) if "&" in text else text)
+        return
+    pieces = text.split("<")
+    p = pieces[0]
+    if p:
+        sink.data(unescape(p) if "&" in p else p)
+    for p in pieces[1:]:
+        sink.data("<")
+        if p:
+            sink.data(unescape(p) if "&" in p else p)
+
+
 def _scan_fast(data: str, sink: _Sink) -> None:
     """Drive the sink with the same event stream html.parser produces.
 
     Equivalence argument (pinned by test_fast_scanner_equivalence over the
     synthetic corpus, the HTML test pages, and an adversarial battery):
-    * data chunks are the runs between markup matches; a bogus '<' inside a
-      run stays in the text, where stdlib emits it as its own 1-char chunk —
-      the per-chunk whitespace collapse composes identically because every
-      extra chunk boundary is adjacent to the non-whitespace '<';
+    * data chunks are the runs between markup matches, split at bogus '<'
+      characters exactly as stdlib chunks them (_emit_text);
     * charrefs decode with html.unescape, the same table convert_charrefs
       uses, and never straddle a chunk boundary in either parser;
     * `<x/>` fires starttag then endtag, matching handle_startendtag's
       default; tag names lowercase; end-tag attributes are discarded;
-    * script/style swallow raw content up to the literal close tag (stdlib
-      CDATA mode); the sink discards it either way (_SKIP_CONTENT).
+    * script/style swallow raw content up to a real matching close tag
+      (stdlib CDATA mode); the sink discards it either way (_SKIP_CONTENT);
+    * a comment/marked section whose close never appears is replayed the
+      way stdlib's goahead recovers it: the text from '<' through the
+      first '>' is ONE raw data chunk and scanning resumes after it
+      (which covers the HTML5 abrupt closes <!--> and <!---> too);
+    * the ONE documented divergence is EOF truncation (no '>' remains):
+      the fast path drops the fragment per HTML5 EOF tokenizer rules
+      where stdlib recovers it as text
+      (test_fast_scanner_eof_truncation_follows_html5).
     """
     pos = 0
     n = len(data)
@@ -237,32 +293,46 @@ def _scan_fast(data: str, sink: _Sink) -> None:
     while pos < n:
         m = search(data, pos)
         if m is None:
-            text = data[pos:]
-            if text:
-                sink.data(unescape(text) if "&" in text else text)
+            if pos < n:
+                _emit_text(data[pos:], sink)
             return
         start = m.start()
         if start > pos:
-            text = data[pos:start]
-            sink.data(unescape(text) if "&" in text else text)
+            _emit_text(data[pos:start], sink)
+        if (
+            m.group("cbad") is not None
+            or m.group("dbad") is not None
+            or m.group("tbad") is not None
+        ):
+            # comment / marked section with no close anywhere ahead, or a
+            # start tag the grammar rejects (= followed by an unterminated
+            # quote): stdlib recovers '<' through the first '>' as ONE raw
+            # data chunk and resumes after it
+            gt = data.find(">", start + 1)
+            if gt == -1:
+                return  # EOF-truncated: HTML5 drops the fragment (pinned)
+            chunk = data[start : gt + 1]  # stdlib unescapes this chunk too
+            sink.data(unescape(chunk) if "&" in chunk else chunk)
+            pos = gt + 1
+            continue
         pos = m.end()
-        end_name, start_name, attr_body, selfclose = m.group(1, 2, 3, 4)
+        end_name, start_name = m.group("end", "tag")
         if start_name is not None:
             tag = start_name.lower()
+            attr_body = m.group("attrs")
             attrs = _parse_attrs(attr_body) if tag == "img" and attr_body else []
             sink.starttag(tag, attrs)
-            if selfclose:
+            if m.group("sc"):
                 sink.endtag(tag)
             elif tag in _CDATA_CLOSE:
                 c = _CDATA_CLOSE[tag].search(data, pos)
                 if c is None:
                     return  # unterminated script/style: rest is raw CDATA
-                gt = data.find(">", c.end())
-                pos = n if gt == -1 else gt + 1
+                pos = c.end()
                 sink.endtag(tag)
         elif end_name is not None:
             sink.endtag(end_name.lower())
-        # comments / decls / PIs: consumed, no event
+        # comments / decls / PIs / bogus end tags: consumed, no event
 
 
 def _extract_events(data: str, fast: bool = True) -> _Sink:

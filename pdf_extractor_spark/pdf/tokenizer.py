@@ -80,30 +80,51 @@ PdfSpan = Dict[str, Any]  # kind, text, media_ref, x0, y0, x1, y1, size
 # bytes — on megabyte PDFs the forward scan was ~29% of the whole tokenize
 # kernel (24x slower than this anchored form for identical matches)
 _OBJ_ANCHOR_RE = re.compile(rb"obj\b")
-_OBJ_BACK_RE = re.compile(rb"(\d+)\s+(\d+)\s+$")
 _STREAM_RE = re.compile(rb"stream\r?\n")
+# the 6 bytes regex \s matches in bytes mode: [ \t\n\r\f\v]
+_WS_BYTES = frozenset(b" \t\n\r\x0c\x0b")
 
 
 def _iter_obj_headers(data: bytes):
-    """Yield (obj_num, end_of_header) for each ``N G obj`` in data order."""
+    """Yield (obj_num, end_of_header) for each ``N G obj`` in data order.
+
+    Matches are identical to the forward regex ``(\\d+)\\s+(\\d+)\\s+obj\\b``
+    (property-tested in test_tokenizer_construct), but anchored on the rare
+    literal ``obj`` with an exact byte-wise backward scan over the two
+    number/whitespace runs. A fixed backward WINDOW is wrong here: a header
+    whose number+whitespace prefix exceeds the window (``7 <31 nines> obj``,
+    ``12 0<30 spaces>obj``) silently dropped the object even though the
+    forward regex accepts it — the runs must be walked to their real start.
+    Cost per anchor is the header length; anchors inside compressed payloads
+    almost always fail on the first byte (not ws/digit before 'obj')."""
+    ws = _WS_BYTES
     for m in _OBJ_ANCHOR_RE.finditer(data):
         s = m.start()
-        lo = s - 32 if s > 32 else 0
-        bm = _OBJ_BACK_RE.search(data, lo, s)
-        while bm is not None:
-            gs = bm.start(1)
-            if gs > 0 and 48 <= data[gs - 1] <= 57:
-                if lo == 0:  # digit run reaches byte 0: header starts there
-                    bm = None
-                    break
-                # object number longer than the window (pathological but
-                # accepted by the forward regex): widen and re-match
-                lo = lo - 32 if lo > 32 else 0
-                bm = _OBJ_BACK_RE.search(data, lo, s)
-                continue
-            break
-        if bm is not None:
-            yield int(bm.group(1)), m.end()
+        # \s+ before 'obj'
+        j = s - 1
+        while j >= 0 and data[j] in ws:
+            j -= 1
+        if j == s - 1:
+            continue  # no whitespace run
+        # generation number digits
+        g2_end = j + 1
+        while j >= 0 and 48 <= data[j] <= 57:
+            j -= 1
+        if j + 1 == g2_end:
+            continue  # no digits
+        # \s+ between the numbers
+        g1_hi = j
+        while j >= 0 and data[j] in ws:
+            j -= 1
+        if j == g1_hi:
+            continue
+        # object number digits
+        g1_end = j + 1
+        while j >= 0 and 48 <= data[j] <= 57:
+            j -= 1
+        if j + 1 == g1_end:
+            continue
+        yield int(data[j + 1 : g1_end]), m.end()
 
 
 def _scan_objects(data: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:

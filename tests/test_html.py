@@ -149,6 +149,48 @@ _ADVERSARIAL = [
     b"</p></div><p>" + b"word " * 12 + b"</p>",
     b"<p attr=>empty attr " + b"word " * 12 + b"</p>",
     b"<a href=bare>bare " + b"word " * 12 + b"</a>",
+    # --- round-4 review findings: stdlib-exact mid-document recovery ---
+    # HTML5 abrupt comment closes: stdlib emits '<!-->' as data and parses on
+    b"<p>keep " + b"word " * 12 + b"</p><!--><p>tail " + b"word " * 12 + b"</p>",
+    b"<p>keep " + b"word " * 12 + b"</p><!---><p>tail " + b"word " * 12 + b"</p>",
+    # unterminated comment mid-document: '<'..first '>' is one data chunk
+    b"<p>keep " + b"word " * 12 + b"</p><!--x<p>tail " + b"word " * 12 + b"</p>",
+    # CDATA-mode close requires a REAL '</script\\s*>' — prefixed names stay swallowed
+    b"<script>var m='</scriptTag>';var w='leak " + b"word " * 12 + b"';</script><p>real "
+    + b"word " * 12 + b"</p>",
+    b"<script>a</scripts>b</script><p>r " + b"word " * 12 + b"</p>",
+    b"<script>a</script ><p>r " + b"word " * 12 + b"</p>",
+    # empty / bogus end tags are consumed silently (stdlib bogus comments)
+    b"<p>b</>a " + b"word " * 12 + b"</p>",
+    b"<p>b</ >a " + b"word " * 12 + b"</p>",
+    b"<p>b</123>a " + b"word " * 12 + b"</p>",
+    # whitespace-only chunk between two bogus '<'s: stdlib drops it ('a << b')
+    b"<p>a < < b " + b"word " * 12 + b"</p>",
+    # unterminated quoted attribute with a later '>': partial-tag data recovery
+    b'<p foo="bar>baz t ' + b"word " * 12 + b"</p>",
+    b"<a href='x<p>end " + b"word " * 12 + b"</p>",
+    # quotes are plain chars inside bare attr values (stdlib tolerant grammar)
+    b"<a onclick=track.something.long('abc><p>t " + b"word " * 12 + b"</p>",
+    b"<a onclick=track('x');other('y')><p>t " + b"word " * 12 + b"</p>",
+    # '/' and '<' are bare-value chars: 'href=x/>' is NOT self-closing
+    b"<a href=x/>text " + b"word " * 12 + b"</a>",
+    b"<img src=</>t " + b"word " * 12,
+    # loose stdlib tag names ('<' is a name char)
+    b"<div<div<p>end " + b"word " * 12 + b"</p>",
+    # '=' after whitespace / after a quote-close is a name char, not a value opener
+    b'<p ="bad>y ' + b"word " * 12 + b"</p>",
+    b'<p a="1"b="2">y ' + b"word " * 12 + b"</p>",
+    b'<p a=="x">y ' + b"word " * 12 + b"</p>",
+    b"<p a==x>y " + b"word " * 12 + b"</p>",
+    # '=' + ws + unterminated quote: empty value, quote starts a junk name
+    b"<img src= '</>x " + b"word " * 12,
+    b"<img src= '/>x " + b"word " * 12,
+    b"<p a= 'sp'>y " + b"word " * 12 + b"</p>",
+    # comment close is --\s*> (html.parser _commentclose)
+    b"<!-- x -- ><p>t " + b"word " * 12 + b"</p>",
+    b"<!-- x ----><p>t " + b"word " * 12 + b"</p>",
+    # CDATA sections may contain '>'
+    b"<![CDATA[a>b]]><p>w " + b"word " * 12 + b"</p>",
 ]
 
 
@@ -166,6 +208,24 @@ def test_fast_scanner_equivalence():
     pages = [make_html(rng, rng.randint(1, 12), rng.randint(0, 3)) for _ in range(150)]
     for page in pages + _ADVERSARIAL:
         assert tokenize_html(page, fast=True) == tokenize_html(page, fast=False), page[:120]
+
+
+def test_fast_scanner_linear_on_unterminated_quotes():
+    """An unterminated quoted attribute used to make the attr-body regex
+    re-partition its plain-char runs exponentially (~4.5 s at 24 junk chars,
+    doubling per char — an executor hang on truncated crawl payloads). The
+    possessive grammar must fail tag matches in linear time."""
+    import time
+
+    payload = (
+        b"<p>x " + b"word " * 12 + b"</p>"
+        b"<a onclick=track.something.muchlongerthanbefore.run('" + b"a" * 80
+    )
+    big = b'<p ' + b'a' * 400 + b'"' + b'x' * 200_000  # never closes
+    t0 = time.perf_counter()
+    tokenize_html(payload, fast=True)
+    tokenize_html(big, fast=True)
+    assert time.perf_counter() - t0 < 1.0
 
 
 def test_fast_scanner_eof_truncation_follows_html5():

@@ -374,3 +374,28 @@ def test_obj_header_scan_equals_forward_regex(chunks):
     forward = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
     expect = [(int(m.group(1)), m.end()) for m in forward.finditer(data)]
     assert list(_iter_obj_headers(data)) == expect
+
+
+def test_obj_header_scan_long_prefixes():
+    """Regression (r4 review): headers whose number+whitespace prefix
+    exceeded the old 32-byte backward window were silently dropped even
+    though the forward regex accepts them — the backward scan must walk
+    the runs to their real start, whatever their length."""
+    import re
+
+    from pdf_extractor_spark.pdf.tokenizer import _iter_obj_headers
+
+    forward = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+    shapes = [
+        b"12 0" + b" " * 30 + b"obj<<>>endobj",          # long ws before 'obj'
+        b"7 " + b"9" * 31 + b" obj<<>>endobj",           # long generation run
+        b"5" + b" " * 40 + b"0 obj<<>>endobj",           # long ws between nums
+        b"1" * 80 + b" " + b"2" * 80 + b" " * 80 + b"obj x",
+        b"junk 3 0 obj<<>>endobj " + b"4" * 50 + b"\t\n 0 obj<<>>",
+        b" " * 64 + b"obj",                              # ws run, no numbers
+        b"obj",                                          # anchor at offset 0
+        b"0 obj",                                        # only one number
+    ]
+    for data in shapes:
+        expect = [(int(m.group(1)), m.end()) for m in forward.finditer(data)]
+        assert list(_iter_obj_headers(data)) == expect, data[:40]

@@ -57,7 +57,20 @@ def run(cores: int) -> dict:
     procs = [ctx.Process(target=_worker, args=(c, q)) for c in range(cores)]
     for p in procs:
         p.start()
-    rates = [q.get()[1] for _ in procs]
+    # bounded get: a worker that dies before q.put (e.g. sched_setaffinity
+    # OSError when a leg exceeds the machine's core count) must not leave
+    # the parent blocked in q.get() forever
+    rates = []
+    for _ in procs:
+        try:
+            rates.append(q.get(timeout=WINDOW_S * 4 + 30)[1])
+        except Exception:
+            for p in procs:
+                p.terminate()
+            raise SystemExit(
+                f"membw worker died before reporting (leg={cores} cores; "
+                f"machine has {mp.cpu_count()})"
+            )
     for p in procs:
         p.join()
     total = sum(rates)
