@@ -88,16 +88,19 @@ CLUSTER_RUNS_PATH = os.path.join(REPO, "BENCH", "cluster_runs.jsonl")
 
 def cluster_best(n_docs: int) -> dict:
     """Best multi-executor (spark-submit --py-files + local-cluster) leg per
-    executor count, from tools/cluster_scaling.py."""
+    (cores_per_executor, executors), from tools/cluster_scaling.py. Grouped
+    by executor SHAPE: an N-vs-4N octave is only meaningful when both legs
+    run the same cores-per-executor (1x2c vs 4x2c), so shapes never mix."""
     best: dict = {}
     if os.path.exists(CLUSTER_RUNS_PATH):
         for line in open(CLUSTER_RUNS_PATH):
             r = json.loads(line)
             if r["n_docs"] != n_docs:
                 continue
-            cur = best.get(r["executors"])
+            shape = best.setdefault(r["cores_per_executor"], {})
+            cur = shape.get(r["executors"])
             if cur is None or r["docs_per_sec"] > cur["docs_per_sec"]:
-                best[r["executors"]] = r
+                shape[r["executors"]] = r
     return best
 
 
@@ -184,42 +187,49 @@ def write_report(n_docs: int) -> dict:
                     "not a software serial fraction (a serial fraction would "
                     "bend the curve, not tilt it linearly).\n"
                 )
-        cbest = cluster_best(n_docs)
-        if cbest:
+        cshapes = cluster_best(n_docs)
+        if cshapes:
             f.write(
                 f"\n## Multi-executor legs (spark-submit --py-files, "
                 f"local-cluster, {n_docs:,} docs)\n\n"
                 "The north_rule's literal deployment shape: the engine zipped\n"
                 "and shipped with `spark-submit --py-files engine.zip\n"
-                "--master local-cluster[E,4,mem]` — E REAL executor JVMs\n"
+                "--master local-cluster[E,C,mem]` — E REAL executor JVMs\n"
                 "(separate processes, own heap/GC/shuffle server/Python\n"
-                "workers, standalone-master RPC), pinned to E*4 cores\n"
+                "workers, standalone-master RPC), pinned to E*C cores\n"
                 "(tools/cluster_scaling.py; timing inside the submitted job,\n"
-                "spin-up excluded on every leg alike):\n\n"
-                "| executors | cores | wall sec | docs/sec |\n|---|---|---|---|\n"
+                "spin-up excluded on every leg alike). One table per executor\n"
+                "SHAPE — an octave only compares legs with identical\n"
+                "cores-per-executor:\n"
             )
-            for e in sorted(cbest):
-                r = cbest[e]
+            for cpe in sorted(cshapes):
+                cbest = cshapes[cpe]
                 f.write(
-                    f"| {e} x {r['cores_per_executor']} cores | {r['cores']} "
-                    f"| {r['seconds']} | {r['docs_per_sec']} |\n"
+                    f"\n### shape: {cpe} cores/executor\n\n"
+                    "| executors | cores | wall sec | docs/sec |\n|---|---|---|---|\n"
                 )
-            octs = [
-                (e, e * 4,
-                 cbest[e * 4]["docs_per_sec"] / cbest[e]["docs_per_sec"])
-                for e in sorted(cbest) if e * 4 in cbest
-            ]
-            if octs:
-                f.write(
-                    "\n| octave (N -> 4N executors) | speedup | efficiency |\n"
-                    "|---|---|---|\n"
-                )
-                for lo, hi, s in octs:
-                    eff = s / 4.0
-                    marker = " ✓" if eff >= 0.8 else ""
+                for e in sorted(cbest):
+                    r = cbest[e]
                     f.write(
-                        f"| {lo} -> {hi} | {s:.3f}x | **{eff:.3f}**{marker} |\n"
+                        f"| {e} x {cpe} cores | {r['cores']} "
+                        f"| {r['seconds']} | {r['docs_per_sec']} |\n"
                     )
+                octs = [
+                    (e, e * 4,
+                     cbest[e * 4]["docs_per_sec"] / cbest[e]["docs_per_sec"])
+                    for e in sorted(cbest) if e * 4 in cbest
+                ]
+                if octs:
+                    f.write(
+                        "\n| octave (N -> 4N executors) | speedup | efficiency |\n"
+                        "|---|---|---|\n"
+                    )
+                    for lo, hi, s in octs:
+                        eff = s / 4.0
+                        marker = " ✓" if eff >= 0.8 else ""
+                        f.write(
+                            f"| {lo} -> {hi} | {s:.3f}x | **{eff:.3f}**{marker} |\n"
+                        )
         f.write(
             "\n## Reading the octaves\n\n"
             "Octaves whose upper leg does not saturate the 32-core socket\n"
