@@ -299,11 +299,12 @@ def _scan_fast(data: str, sink: _Sink) -> None:
         start = m.start()
         if start > pos:
             _emit_text(data[pos:start], sink)
-        if (
-            m.group("cbad") is not None
-            or m.group("dbad") is not None
-            or m.group("tbad") is not None
-        ):
+        # one attribute read instead of per-name group() calls: the last
+        # matched named group identifies the branch ('sc' for start tags —
+        # its /? always participates — 'end' for end tags, a *bad name for
+        # the recovery branches, None for silently-consumed constructs)
+        branch = m.lastgroup
+        if branch in ("cbad", "dbad", "tbad"):
             # comment / marked section with no close anywhere ahead, or a
             # start tag the grammar rejects (= followed by an unterminated
             # quote): stdlib recovers '<' through the first '>' as ONE raw
@@ -316,11 +317,13 @@ def _scan_fast(data: str, sink: _Sink) -> None:
             pos = gt + 1
             continue
         pos = m.end()
-        end_name, start_name = m.group("end", "tag")
-        if start_name is not None:
-            tag = start_name.lower()
-            attr_body = m.group("attrs")
-            attrs = _parse_attrs(attr_body) if tag == "img" and attr_body else []
+        if branch == "sc":
+            tag = m.group("tag").lower()
+            if tag == "img":
+                attr_body = m.group("attrs")
+                attrs = _parse_attrs(attr_body) if attr_body else []
+            else:
+                attrs = []
             sink.starttag(tag, attrs)
             if m.group("sc"):
                 sink.endtag(tag)
@@ -330,8 +333,8 @@ def _scan_fast(data: str, sink: _Sink) -> None:
                     return  # unterminated script/style: rest is raw CDATA
                 pos = c.end()
                 sink.endtag(tag)
-        elif end_name is not None:
-            sink.endtag(end_name.lower())
+        elif branch == "end":
+            sink.endtag(m.group("end").lower())
         # comments / decls / PIs / bogus end tags: consumed, no event
 
 
