@@ -145,14 +145,25 @@ def _runs_on_disk(output_dir: str, table: str = SPANS_DIR) -> List[str]:
 
 
 def reconcile_checkpoint(
-    spark: SparkSession, output_dir: str, table: str = SPANS_DIR
+    spark: SparkSession,
+    output_dir: str,
+    table: str = SPANS_DIR,
+    run_ids: Optional[List[str]] = None,
 ) -> List[str]:
     """Heal the two crash windows before a resume (see module docstring).
 
     Returns the run_ids whose durable-but-uncommitted spans were adopted
-    into lineage. Partial (no ``_SUCCESS``) run directories are removed."""
+    into lineage. Partial (no ``_SUCCESS``) run directories are removed.
+
+    ``run_ids`` restricts the sweep to the named runs: a long-lived stream
+    reconciles everything ONCE at start, then only its current batch-run
+    inside each trigger — sweeping every run dir per micro-batch is
+    O(batches²) Spark jobs over the stream's lifetime."""
     adopted: List[str] = []
     runs = _runs_on_disk(output_dir, table)
+    if run_ids is not None:
+        wanted = set(run_ids)
+        runs = [r for r in runs if r in wanted]
     if not runs:
         return adopted
     ckpt = read_checkpoint(spark, output_dir)

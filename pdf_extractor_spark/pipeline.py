@@ -279,10 +279,36 @@ def _swap_kb_state(spark: SparkSession, output_dir: str, kb_out: DataFrame) -> N
     kb_dir = os.path.join(output_dir, "kb")
     kb_new, kb_old = kb_dir + "_new", kb_dir + "_old"
     kb_out.write.mode("overwrite").parquet(kb_new)
+    # a prior run that crashed between promote and shelf-drop leaves a
+    # non-empty kb_old; _read_kb_state heals it on the read path, but a
+    # caller that passed an explicit kb= never reads — clear the shelf
+    # here too or os.rename(kb_dir, kb_old) raises ENOTEMPTY forever
+    shutil.rmtree(kb_old, ignore_errors=True)
     if os.path.isdir(kb_dir):
         os.rename(kb_dir, kb_old)
     os.rename(kb_new, kb_dir)
     shutil.rmtree(kb_old, ignore_errors=True)
+
+
+def lineage_projection(result: DataFrame) -> DataFrame:
+    """The spans-sink output columns BOTH the batch and streaming jobs write
+    (write_checkpoint reads span_count/byte_count/partition_id back from
+    these files — one shared definition so batch and stream lineage can
+    never diverge silently):
+
+    * ``byte_count``: serialized payload size, computed by the writing task
+      while the spans are in memory — the lineage commit reads it back
+      instead of re-serializing every span array a second time;
+    * ``partition_id``: the WRITING task's partition, recorded verbatim.
+    """
+    return result.select(
+        "doc_id",
+        "content_hash",
+        "spans",
+        F.size("spans").alias("span_count"),
+        F.octet_length(F.to_json("spans")).cast("long").alias("byte_count"),
+        F.spark_partition_id().alias("partition_id"),
+    )
 
 
 def _guard_run_id_unused(ckpt: Optional[DataFrame], run_id: str) -> None:
@@ -350,18 +376,7 @@ def run_extraction_job(
     result = extract_spans(
         docs, partitions=partitions, checkpoint=ckpt, dedup=dedup, columns="public"
     )
-    out = result.select(
-        "doc_id",
-        "content_hash",
-        "spans",
-        F.size("spans").alias("span_count"),
-        # serialized payload size, computed by the writing task while the
-        # spans are in memory — the lineage commit reads it back instead of
-        # re-serializing every span array a second time
-        F.octet_length(F.to_json("spans")).cast("long").alias("byte_count"),
-        # the WRITING task's partition — recorded into lineage verbatim
-        F.spark_partition_id().alias("partition_id"),
-    )
+    out = lineage_projection(result)
     # A3/A5 run counters ride the job itself via observe() — no second pass
     # over the data (the reference increments its stats dict per doc,
     # extractor.py:59-66; here the executors aggregate for free).

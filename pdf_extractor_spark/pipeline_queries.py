@@ -1833,8 +1833,12 @@ def text_repetition(spark, sf_dir):
 
 # PII patterns restricted to syntax both Java regex and RE2 (DuckDB) compile
 # identically: literal classes, bounded repeats, \b anchors — no lookaround,
-# no backrefs.
-_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# no backrefs. Email classes carry BOTH cases explicitly (not a case flag —
+# flag syntax differs between the engines): a scrub that misses
+# John.Doe@Example.COM, or redacts only the lowercase fragments of a
+# mixed-case address, is a real-data privacy hole even while the oracle
+# gate stays green.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 _PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
 
@@ -2859,8 +2863,12 @@ def sim_ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
     # one k-means refinement pass: assign → per-dimension mean per cluster;
-    # persisted because both the posting lists and the query probes reuse it
-    # (K rows cached vs re-running the n×dim mean aggregation twice)
+    # materialized because both the posting lists and the query probes reuse
+    # it (K rows vs re-running the n×dim mean aggregation twice). An eager
+    # localCheckpoint, not persist(): a persist pins a storage-memory entry
+    # nobody ever unpersists — one leak per invocation in a long-lived
+    # session (the same class _decon_hits documents), while the checkpoint
+    # is K dim-sized rows the session reclaims with the plan
     assigned = nearest(e, seeds, "cid", 1)
     refined = (
         assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
@@ -2869,7 +2877,7 @@ def sim_ann_ivf_topk(spark, sf_dir):
         .groupBy("cid")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
         .select("cid", F.transform("pv", lambda s: s["v"].cast("float")).alias("c_emb"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     lists = nearest(e, refined, "cid", 1)  # posting lists
     q = nearest(
@@ -2953,5 +2961,11 @@ def _mm_frame_df(spark, sf_dir):
     )
     return sample_frames(d, blob_col="blob", id_col="doc_id")
 
+
+# importing this module registers its queries/oracles into the shared
+# registry in queries.py — re-export the accessors so
+# `from pdf_extractor_spark.pipeline_queries import *` hands back the
+# populated registry rather than raising on undefined names
+from pdf_extractor_spark.queries import all_oracles, all_queries  # noqa: E402
 
 __all__ = ["all_queries", "all_oracles"]

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark.schema import RAW_DOC_SCHEMA
-from pdf_extractor_spark.pipeline import extract_spans
+from pdf_extractor_spark.pipeline import extract_spans, lineage_projection
 
 
 def read_doc_stream(
@@ -71,12 +71,20 @@ def run_stream_extraction(
 
     stream = read_doc_stream(spark, input_path, max_files_per_trigger)
 
+    # full reconcile ONCE at stream start: adopt/heal anything a previous
+    # stream or batch job left torn. Inside each trigger only the current
+    # batch-run is reconciled — a foreachBatch retry can only have torn its
+    # OWN run dir, and sweeping every run dir (each a Spark count job) plus
+    # a full-lineage aggregate per micro-batch degrades to O(batches²) jobs
+    # over a long-lived stream's life.
+    reconcile_checkpoint(spark, output_dir)
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # reconcile first: a foreachBatch retry that died between the spans
-        # commit and the lineage commit must adopt the durable run, not
-        # re-extract it; one that died DURING the lineage append heals by
-        # appending only the missing rows (the at-least-once crash windows)
-        reconcile_checkpoint(spark, output_dir)
+        # reconcile this batch's run first: a retry that died between the
+        # spans commit and the lineage commit must adopt the durable run,
+        # not re-extract it; one that died DURING the lineage append heals
+        # by appending only the missing rows (the at-least-once windows)
+        reconcile_checkpoint(spark, output_dir, run_ids=[f"{run_id}_b{batch_id}"])
         ckpt = read_checkpoint(spark, output_dir)
         batch_run = f"{run_id}_b{batch_id}"
         if ckpt is not None:
@@ -96,18 +104,12 @@ def run_stream_extraction(
             write_checkpoint(spark, output_dir, batch_run)
             return
         # spans-only sink → kernel-level projection pushdown, same as the
-        # batch path (geometry/full_text never cross Arrow)
+        # batch path (geometry/full_text never cross Arrow); the sink
+        # columns come from the SAME projection the batch job writes
         result = extract_spans(
             batch_df, partitions=partitions, checkpoint=ckpt, columns="public"
         )
-        out = result.select(
-            "doc_id",
-            "content_hash",
-            "spans",
-            F.size("spans").alias("span_count"),
-            F.octet_length(F.to_json("spans")).cast("long").alias("byte_count"),
-            F.spark_partition_id().alias("partition_id"),
-        )
+        out = lineage_projection(result)
         out.write.mode("overwrite").parquet(spans_run_path(output_dir, batch_run))
         write_checkpoint(spark, output_dir, batch_run)
 

@@ -72,11 +72,14 @@ def _dedup_fn(
     """Emit the first row for an unseen hash; drop everything else."""
     first = first_seen_min_doc(pdfs, state)
     if first is not None:
+        # nullable LongType arrives as float64 NaN through Arrow→pandas;
+        # NaN is truthy, so `or 0` does not guard it and int(nan) raises
+        size = first["size_bytes"].iloc[0]
         yield pd.DataFrame(
             {
                 "content_hash": [key[0]],
                 "doc_id": [str(first["doc_id"].iloc[0])],
-                "size_bytes": [int(first["size_bytes"].iloc[0] or 0)],
+                "size_bytes": [int(size) if pd.notna(size) else 0],
             }
         )
 

@@ -72,6 +72,41 @@ def test_field_job_end_to_end_with_repair(spark, tmp_path):
     assert spark.read.parquet(os.path.join(out_dir, "results")).count() == 3
 
 
+def test_kb_swap_heals_leftover_shelf_with_explicit_kb(spark, tmp_path):
+    """Regression (r4 review): a crash between the kb promote and the
+    shelf drop leaves a non-empty kb_old; a later run called with an
+    explicit kb= skips _read_kb_state (the only other place the shelf is
+    cleaned), so the swap's os.rename(kb, kb_old) raised ENOTEMPTY and
+    every retry failed until manual cleanup."""
+    docs_path = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    _write_docs(spark, docs_path, n=2)
+    replay = {f"card_{i}": replay_response({"registro": "55123"}) for i in range(2)}
+    run_field_extraction_job(
+        spark, docs_path, out_dir, kb=kb_df(spark, BROKEN_KB),
+        replay=replay, run_id="r1", partitions=2,
+    )
+    # simulate the crash window: both kb and a non-empty kb_old on disk
+    kb_dir = os.path.join(out_dir, "kb")
+    import shutil
+
+    shutil.copytree(kb_dir, kb_dir + "_old")
+    rows = [
+        ("fresh_0", make_labeled_pdf(FIELDS, title="FICHA F"),
+         "application/pdf", "ficha", {"registro": "Numero de registro"}, 0)
+    ]
+    docs2 = str(tmp_path / "docs2")
+    spark.createDataFrame(rows, RAW_DOC_SCHEMA).write.parquet(docs2)
+    stats = run_field_extraction_job(
+        spark, docs2, out_dir, kb=kb_df(spark, BROKEN_KB),
+        replay={"fresh_0": replay_response({"registro": "55123"})},
+        run_id="r2", partitions=2,
+    )
+    assert stats["docs"] == 1  # the swap must not raise
+    assert os.path.isdir(kb_dir)
+    assert not os.path.isdir(kb_dir + "_old")  # shelf dropped
+
+
 def test_field_job_incremental_docs_use_repaired_kb(spark, tmp_path):
     """New documents arriving after a repair run extract heuristically from
     the persisted KB — zero further LLM calls (the reference's two-level

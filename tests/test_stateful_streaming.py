@@ -43,6 +43,27 @@ def test_stateful_dedup_across_batches_and_restarts(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_stateful_dedup_null_size_bytes(spark, tmp_path):
+    """Regression (r4 review): a NULL size_bytes arrives through the Arrow→
+    pandas boundary as float64 NaN, which is truthy — `or 0` did not guard
+    it and int(NaN) killed the dedup task for any hash whose first-seen
+    representative lacked a size."""
+    from pdf_extractor_spark.schema import RAW_DOC_SCHEMA
+
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    rows = [
+        ("d1", b"payload one", "text/html", "t", {}, None),  # NULL size
+        ("d2", b"payload one", "text/html", "t", {}, 11),    # dup of d1
+        ("d3", b"payload two", "text/html", "t", {}, None),
+    ]
+    spark.createDataFrame(rows, RAW_DOC_SCHEMA).write.parquet(docs_dir)
+    run_dedup_stream(spark, docs_dir, out_dir)
+    uniq = spark.read.parquet(os.path.join(out_dir, "unique"))
+    got = {r["doc_id"]: r["size_bytes"] for r in uniq.collect()}
+    assert got == {"d1": 0, "d3": 0}  # NULL → 0, first-seen kept, dup dropped
+
+
 def test_windowed_counts_match_batch_for_closed_windows(spark, tmp_path, sf_dir):
     out_dir = str(tmp_path / "out")
     events_src = os.path.join(sf_dir, "events.parquet")
