@@ -65,7 +65,13 @@ for _ch, _w in _HELV_WIDTHS.items():
 
 
 def _text_width(text: str, size: float) -> float:
-    b = text.encode("cp1252", "replace")
+    # str.isascii() is O(1) (CPython stores the flag) and ascii encode is a
+    # memcpy, vs the cp1252 charmap codec's per-char C loop (~8x slower per
+    # call, profiled); ASCII bytes index _W_TABLE identically either way
+    if text.isascii():
+        b = text.encode("ascii")
+    else:
+        b = text.encode("cp1252", "replace")
     return sum(map(_W_TABLE.__getitem__, b)) * size / 1000.0
 
 
@@ -511,6 +517,11 @@ def _bytes_to_text(b: bytes, enc_map: Optional[Dict[int, str]] = None) -> str:
             enc_map.get(code) or bytes([code]).decode("cp1252", "replace")
             for code in b
         )
+    if b.isascii():
+        # cp1252 == ASCII below 0x80, and latin-1 decode is a C memcpy while
+        # cp1252 walks the charmap codec (~6x slower per call, hot-path
+        # profiled); real-corpus strings are overwhelmingly ASCII
+        return b.decode("latin-1")
     try:
         return b.decode("cp1252")  # WinAnsiEncoding
     except UnicodeDecodeError:
@@ -827,7 +838,11 @@ def _decode_hex_string(raw: bytes, enc_map=None) -> str:
 # Alternatives ordered by measured token frequency (numbers ≫ operators ≫
 # strings ≫ names); every alternative starts with a distinct character
 # class, so the order changes only how fast the engine dispatches, never
-# which alternative matches at a given position.
+# which alternative matches at a given position. (A fused
+# `(?:num\s+){6}Tm` first alternative was tried and MEASURED SLOWER —
+# 21.9 s → 23.6 s on the 31k-doc kernel bench: every non-Tm number
+# position pays a failed 6-number attempt, which outweighs collapsing the
+# 7 finditer iterations of the genuine Tm runs.)
 _TOKEN_RE = re.compile(
     rb"""
     (?P<num>[-+]?\d*\.?\d+)           # number
@@ -988,10 +1003,13 @@ def _run_content(
             # escapes, no UTF-16 BOM → plain WinAnsi decode (the vast
             # majority of strings; skips two function calls per string)
             if cur_enc is None and b"\\" not in raw and raw[:2] != b"\xfe\xff":
-                try:
-                    cur.append(raw.decode("cp1252"))
-                except UnicodeDecodeError:
+                if raw.isascii():  # latin-1 == cp1252 below 0x80, 6x cheaper
                     cur.append(raw.decode("latin-1"))
+                else:
+                    try:
+                        cur.append(raw.decode("cp1252"))
+                    except UnicodeDecodeError:
+                        cur.append(raw.decode("latin-1"))
             else:
                 cur.append(_decode_pdf_string(raw, cur_enc))
         elif idx == I_NAME:

@@ -97,10 +97,18 @@ _ROUND2_CACHE: Dict[float, float] = {}
 
 
 def _sort_key(s: Dict[str, Any]):
+    # _null_low and the repeated s[...] lookups are inlined: the key runs
+    # once per span per doc and the call/lookup overhead was ~1% of the
+    # whole kernel (same tuple as before, property of equality unchanged)
+    t = s["text"]
+    mr = s["media_ref"]
+    x0 = s["x0"]
+    y0 = s["y0"]
     return (
-        -_round2(s["y0"]), _round2(s["x0"]), s["kind"],
-        _null_low(s["text"]), _null_low(s["media_ref"]),
-        s["x0"], s["y0"], s["x1"], s["y1"], s["size"],
+        -_round2(y0), _round2(x0), s["kind"],
+        (0, "") if t is None else (1, t),
+        (0, "") if mr is None else (1, mr),
+        x0, y0, s["x1"], s["y1"], s["size"],
     )
 
 
