@@ -120,12 +120,21 @@ class _Sink:
             text = data
         else:
             text = _WS_RUN.sub(" ", data)
-        if not text.strip():
+        # past this point every whitespace char in `text` is a single ASCII
+        # space (no two adjacent): all-whitespace text is exactly " ", and
+        # the word count is the space count + 1, less one per boundary
+        # space — same value as len(text.split()) without building the list
+        if not text or text == " ":
             return
         b = self._block()
         b.chars.append(text)
         n = len(text)
-        b.words += len(text.split())
+        w = text.count(" ") + 1
+        if text[0] == " ":
+            w -= 1
+        if text[-1] == " ":
+            w -= 1
+        b.words += w
         if self._link:
             b.link_chars += n
 
