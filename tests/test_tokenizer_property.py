@@ -399,3 +399,52 @@ def test_obj_header_scan_long_prefixes():
     for data in shapes:
         expect = [(int(m.group(1)), m.end()) for m in forward.finditer(data)]
         assert list(_iter_obj_headers(data)) == expect, data[:40]
+
+
+@given(st.text(max_size=64), st.floats(min_value=0.5, max_value=72, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_text_width_ascii_fast_path_matches_charmap(text, size):
+    """The r4 isascii() fast path in _text_width must be value-identical to
+    the cp1252 charmap reference on every input (ASCII bytes index the
+    width table identically under either codec)."""
+    from pdf_extractor_spark.pdf.tokenizer import _W_TABLE, _text_width
+
+    ref = sum(map(_W_TABLE.__getitem__, text.encode("cp1252", "replace")))
+    ref = ref * size / 1000.0
+    assert _text_width(text, size) == ref
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_bytes_to_text_ascii_fast_path_matches_cp1252(b):
+    """The r4 isascii() latin-1 fast path in _bytes_to_text must decode
+    byte-identically to the cp1252 reference path (the two codecs agree
+    below 0x80; above, the slow path still runs)."""
+    from pdf_extractor_spark.pdf.tokenizer import _bytes_to_text
+
+    try:
+        ref = b.decode("cp1252")
+    except UnicodeDecodeError:
+        ref = b.decode("latin-1")
+    assert _bytes_to_text(b) == ref
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_sink_word_count_arithmetic_matches_split(data):
+    """The r4 arithmetic word count in the densitometric sink must equal
+    len(text.split()) after the sink's own whitespace normalization, for
+    any data chunk including Unicode whitespace (NBSP from &nbsp;, U+2009,
+    NEL) — _WS_ODD routes all of those to the collapse branch."""
+    from pdf_extractor_spark.html.boilerplate import _WS_ODD, _WS_RUN
+
+    text = data if _WS_ODD.search(data) is None else _WS_RUN.sub(" ", data)
+    if not text or text == " ":
+        assert len(text.split()) == 0
+        return
+    w = text.count(" ") + 1
+    if text[0] == " ":
+        w -= 1
+    if text[-1] == " ":
+        w -= 1
+    assert w == len(text.split()), repr(text)
