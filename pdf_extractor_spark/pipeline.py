@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark import assemble
-from pdf_extractor_spark.schema import METRICS_SCHEMA
+from pdf_extractor_spark.schema import METRICS_SCHEMA  # noqa: F401 (public)
 
 SESSION_DEFAULTS = {
     # local-mode: driver JVM hosts all executor threads. Multi-MB binary
@@ -329,6 +329,37 @@ def _guard_run_id_unused(ckpt: Optional[DataFrame], run_id: str) -> None:
         )
 
 
+def _write_metrics(output_dir: str, run_id: str, metrics: dict) -> None:
+    """Append one run's metrics rows (METRICS_SCHEMA layout) to
+    ``{output_dir}/metrics`` as a single parquet part file written directly
+    by the driver. The metrics are O(1) scalars per run and already live on
+    the driver (``Observation.get``), so routing them through a Spark job
+    is pure scheduling overhead (~0.4 s/run measured) for a 6-row write; a
+    real cluster's driver does the same one-small-file put to object
+    storage. Write-to-temp + rename keeps a crash from leaving a torn file
+    that would poison later ``spark.read.parquet`` over the directory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(run_id, k, float(v if v is not None else 0)) for k, v in metrics.items()]
+    table = pa.table(
+        {
+            "run_id": pa.array([r[0] for r in rows], pa.string()),
+            "metric": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    metrics_dir = os.path.join(output_dir, "metrics")
+    os.makedirs(metrics_dir, exist_ok=True)
+    fname = f"part-{run_id}-{uuid.uuid4().hex}.parquet"
+    final = os.path.join(metrics_dir, fname)
+    # leading dot: Spark's FileIndex skips hidden files, so a crash that
+    # orphans the temp never breaks later reads of the directory
+    tmp = os.path.join(metrics_dir, "." + fname + ".tmp")
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, final)
+
+
 def run_extraction_job(
     spark: SparkSession,
     input_path: str,
@@ -403,12 +434,7 @@ def run_extraction_job(
     metrics = dict(obs.get)
     n_docs = write_checkpoint(spark, output_dir, run_id)
     elapsed = time.time() - t0
-    metrics_rows = [
-        (run_id, k, float(v if v is not None else 0)) for k, v in metrics.items()
-    ]
-    spark.createDataFrame(metrics_rows, METRICS_SCHEMA).write.mode("append").parquet(
-        os.path.join(output_dir, "metrics")
-    )
+    _write_metrics(output_dir, run_id, metrics)
     return {
         "run_id": run_id,
         "docs": n_docs,
@@ -520,9 +546,7 @@ def run_field_extraction_job(
         "llm_out_tokens": float(cost["llm_out_tokens"] or 0),
         "llm_total_cost": float(cost["llm_total_cost"] or 0.0),
     }
-    spark.createDataFrame(
-        [(run_id, k, v) for k, v in metrics.items()], METRICS_SCHEMA
-    ).write.mode("append").parquet(os.path.join(output_dir, "metrics"))
+    _write_metrics(output_dir, run_id, metrics)
     elapsed = time.time() - t0
     return {
         "run_id": run_id,
