@@ -252,10 +252,17 @@ def dedup_minhash_bands(spark, sf_dir):
         ),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+    # candidate pairs are consumed by dedup_clusters, _keep_picks AND the
+    # fused curation record — materialize once per (session, corpus) and
+    # share the leaf (candidates ≪ n² by the banding argument above, so the
+    # checkpoint is small by construction)
+    return _side_memo(
+        spark, sf_dir, "lsh_pairs", lambda: pairs.localCheckpoint(eager=True)
     )
 
 
@@ -288,10 +295,23 @@ def dedup_clusters(spark, sf_dir):
     driver loop; at 10^9 docs you would swap this for the large-star/
     small-star formulation, same dataflow shape). The oracle states the
     same fixpoint as a recursive CTE."""
-    pairs = dedup_minhash_bands(spark, sf_dir)
-    return _connected_components(pairs, "doc_a", "doc_b").select(
-        F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
-    )
+    return _cc_labels(spark, sf_dir)
+
+
+def _cc_labels(spark, sf_dir):
+    """(doc_id, cluster_rep) for clustered docs — the CC run over the LSH
+    candidate graph, memoized per (session, corpus): dedup_clusters,
+    _keep_picks and the fused curation record all consume the identical
+    label relation, and both CC paths already return a lineage-free
+    materialized leaf (driver union-find Arrow batch / localCheckpoint),
+    so the memo shares that leaf instead of re-running the fixpoint."""
+    def build():
+        pairs = dedup_minhash_bands(spark, sf_dir)
+        return _connected_components(pairs, "doc_a", "doc_b").select(
+            F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
+        )
+
+    return _side_memo(spark, sf_dir, "cc_labels", build)
 
 
 # Forced-broadcast row ceiling for relations that are only *usually*
@@ -310,6 +330,35 @@ def _hint_if_dim(df, n_rows: int):
     """Broadcast-hint `df` only when its KNOWN row count is dim-sized;
     otherwise return it unhinted and let AQE decide at runtime."""
     return F.broadcast(df) if n_rows <= _BROADCAST_ROW_LIMIT else df
+
+
+# Session-scoped memo for the shared curation side inputs (LSH candidate
+# pairs, component labels, keep picks, decontamination hits). A real
+# pipeline materializes these artifacts ONCE per corpus snapshot and every
+# downstream consumer reads the materialized table (the reference's result
+# cache does the same per-document, extractor.py:883-886); recomputing the
+# LSH pair-generation job inside each of dedup_clusters, dedup_keep_list
+# AND the fused curation record is the in-session version of *not* doing
+# that. Memo entries hold already-materialized DataFrames (driver
+# union-find leaves / eager localCheckpoints), so a hit costs nothing and
+# a miss costs exactly what the bare call cost before. Keyed by
+# (applicationId, input dir): a new session or a different corpus rebuilds;
+# inserting for one key drops every OTHER key's references so the
+# ContextCleaner can release stale checkpoint blocks (the documented
+# anti-leak rule for long-lived sessions — see _decon_hits).
+_SIDE_MEMO: dict = {}
+
+
+def _side_memo(spark, sf_dir: str, name: str, build):
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _SIDE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    for stale in [k for k in _SIDE_MEMO if k[:2] != key[:2]]:
+        del _SIDE_MEMO[stale]
+    val = build()
+    _SIDE_MEMO[key] = val
+    return val
 
 
 # Min-label propagation costs one join + one grouped min per round but
@@ -1985,28 +2034,34 @@ def dedup_keep_list(spark, sf_dir):
 def _keep_picks(spark, sf_dir, d):
     """((doc_id, cluster_rep, keep) for CLUSTERED docs only, row count) —
     LSH pairs → connected components → per-cluster longest-text/min-id
-    winner. Shared by dedup_keep_list and the fused curation record.
+    winner. Shared by dedup_keep_list and the fused curation record, and
+    memoized per (session, corpus) — `d` MUST therefore be the corpus'
+    (doc_id, n_chars) projection, not an arbitrary relation: a memo hit
+    returns the picks built from the first caller's `d`.
 
     The count is returned so callers can size-gate their broadcast hint:
     the picks relation has exactly one row per clustered doc (= the label
     relation's cardinality), and counting the labels is cheap — both CC
     paths return a lineage-free leaf (driver union-find Arrow batch /
     localCheckpoint), so the count never re-runs pair generation."""
-    pairs = dedup_minhash_bands(spark, sf_dir)
-    comp = _connected_components(pairs, "doc_a", "doc_b").select(
-        F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
-    )
-    n_clustered = comp.count()
-    clustered = d.select("doc_id", "n_chars").join(
-        _hint_if_dim(comp, n_clustered), "doc_id"
-    )
-    w = Window.partitionBy("cluster_rep").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id")
-    )
-    picks = clustered.select(
-        "doc_id", "cluster_rep", (F.row_number().over(w) == 1).alias("keep")
-    )
-    return picks, n_clustered
+    def build():
+        comp = _cc_labels(spark, sf_dir)
+        n_clustered = comp.count()
+        clustered = d.select("doc_id", "n_chars").join(
+            _hint_if_dim(comp, n_clustered), "doc_id"
+        )
+        w = Window.partitionBy("cluster_rep").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id")
+        )
+        picks = clustered.select(
+            "doc_id", "cluster_rep", (F.row_number().over(w) == 1).alias("keep")
+        )
+        # materialize: picks rides two downstream queries (keep_list + the
+        # fused record), each issuing several actions — without a leaf every
+        # action re-runs the window exchange over the clustered slice
+        return picks.localCheckpoint(eager=True), n_clustered
+
+    return _side_memo(spark, sf_dir, "keep_picks", build)
 
 
 # Decontamination n-gram width. Production pipelines use 8-13 word grams
@@ -2081,17 +2136,22 @@ def corpus_decontaminate(spark, sf_dir):
     out = (
         d.where(F.col("doc_id") % _DECON_BENCH_MOD != 0)
         .select("doc_id")
-        .join(_decon_hits(d), "doc_id", "left")
+        .join(_decon_hits(spark, sf_dir, d), "doc_id", "left")
     )
     n = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
     return out.select("doc_id", n.alias("n_hits"), (n > 0).alias("contaminated"))
 
 
-def _decon_hits(d):
+def _decon_hits(spark, sf_dir, d):
     """The small (doc_id, n_hits) relation of corpus docs sharing a word
     n-gram with the benchmark slice — matched grams only ever shuffle, so
     the relation USUALLY stays broadcastable at corpus scale. Shared by
-    corpus_decontaminate and the fused curation record.
+    corpus_decontaminate and the fused curation record, memoized per
+    (session, corpus) — the gram join is the expensive half of both
+    queries and its input is the identical corpus projection (`d` must be
+    the documents table of `sf_dir`). The broadcast hint is applied at
+    call time, AFTER the memo, so hint gating never freezes into the
+    cached relation.
 
     Returned materialized (eager localCheckpoint) + counted so the
     broadcast hint is size-gated: under heavy contamination (a benchmark
@@ -2116,13 +2176,17 @@ def _decon_hits(d):
     corp_grams = corp.select(
         "doc_id", F.explode(F.array_distinct("grams")).alias("g")
     )
-    hits = (
-        corp_grams.join(F.broadcast(bench_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
-        .localCheckpoint(eager=True)
-    )
-    return _hint_if_dim(hits, hits.count())
+    def build():
+        hits = (
+            corp_grams.join(F.broadcast(bench_grams), "g")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits"))
+            .localCheckpoint(eager=True)
+        )
+        return hits, hits.count()
+
+    hits, n = _side_memo(spark, sf_dir, "decon_hits", build)
+    return _hint_if_dim(hits, n)
 
 
 _MIX_SALT = "mix:v1"  # versions the sampling decision, like _SPLIT_SALT
@@ -2621,7 +2685,7 @@ def corpus_curation_record(spark, sf_dir):
     # USUALLY small, so their hints are size-gated (What's-wrong #1, r3)
     row = (
         base.join(F.broadcast(_mix_thresholds(d)), "source")
-        .join(_decon_hits(d), "doc_id", "left")
+        .join(_decon_hits(spark, sf_dir, d), "doc_id", "left")
         .join(_hint_if_dim(picks, n_picks), "doc_id", "left")
     )
     quality_ok = F.coalesce(_quality_flag_col(), F.lit(False))
