@@ -1708,9 +1708,10 @@ def dedup_winnow_pairs(spark, sf_dir):
     overlapping passages even when word-level shingles are broken by edits.
 
     Scale shape: the fingerprint index (doc_id, fp) is computed ONCE by the
-    narrow Arrow kernel and persisted — the round-2 formulation consumed it
-    three times (df pass + both sides of a self-join), re-running the
-    kernel each time (22.8 s at sf0.1). Pass 1 over the index is a
+    narrow Arrow kernel and materialized once per (session, corpus) via
+    the side-input memo — the round-2 formulation consumed it three times
+    (df pass + both sides of a self-join), re-running the kernel each time
+    (22.8 s at sf0.1). Pass 1 over the index is a
     count-only groupBy (map-side combinable, skew-safe) whose hot
     fingerprints — df > min(max(2% of corpus, 10), {WINNOW_HOT_DF_CAP}) —
     broadcast into an anti-join; the absolute cap matters at 10^9 docs,
