@@ -138,14 +138,22 @@ def write_checkpoint(
     # write. Coalesce to one lineage file per ~6 GB of spans (measured from
     # the run dir listing — no extra job): 1 file at bench scale, ~O(1000)
     # at 10^12 docs, and read_checkpoint scans proportionally fewer footers.
-    try:
-        spans_bytes = sum(
-            e.stat().st_size for e in os.scandir(run_path) if e.is_file()
-        )
-        n_out = max(1, -(-spans_bytes // (6 << 30)))
-        lineage = lineage.coalesce(int(n_out))
-    except OSError:
-        pass  # non-local path — keep the natural partitioning
+    # coalesce() inserts no shuffle — it collapses the UPSTREAM scan into
+    # n_out tasks too — so it is applied only on the metadata-only path
+    # (byte_count present: parquet column pruning means those tasks read a
+    # few small columns, never the spans payload). The legacy fallback that
+    # serializes every spans payload through to_json keeps its natural
+    # partitioning: collapsing THAT into one task would single-thread a
+    # multi-GB serialization pass.
+    if "byte_count" in written.columns:
+        try:
+            spans_bytes = sum(
+                e.stat().st_size for e in os.scandir(run_path) if e.is_file()
+            )
+            n_out = max(1, -(-spans_bytes // (6 << 30)))
+            lineage = lineage.coalesce(int(n_out))
+        except OSError:
+            pass  # permission/race on the listing — keep natural partitioning
     lineage.write.mode("append").parquet(checkpoint_path(output_dir))
     return int(obs.get["n"]) + already_n
 

@@ -22,6 +22,7 @@ Scale notes (100 TB / 10^12 docs):
 from __future__ import annotations
 
 import os
+import re
 import time
 import uuid
 from typing import Optional
@@ -337,11 +338,25 @@ def _write_metrics(output_dir: str, run_id: str, metrics: dict) -> None:
     is pure scheduling overhead (~0.4 s/run measured) for a 6-row write; a
     real cluster's driver does the same one-small-file put to object
     storage. Write-to-temp + rename keeps a crash from leaving a torn file
-    that would poison later ``spark.read.parquet`` over the directory."""
+    that would poison later ``spark.read.parquet`` over the directory.
+
+    The direct write requires a LOCAL output_dir (os.makedirs on
+    's3a://bucket' would silently create a literal './s3a:/bucket' dir);
+    any scheme other than file: routes through Spark's Hadoop-FS writer
+    instead — the ~0.4 s of scheduling is the correct price for a
+    filesystem the driver cannot os.replace() on."""
+    rows = [(run_id, k, float(v if v is not None else 0)) for k, v in metrics.items()]
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", output_dir)
+    if m and m.group(1) != "file":
+        spark = SparkSession.getActiveSession()
+        spark.createDataFrame(
+            rows, "run_id string, metric string, value double"
+        ).coalesce(1).write.mode("append").parquet(
+            os.path.join(output_dir, "metrics")
+        )
+        return
     import pyarrow as pa
     import pyarrow.parquet as pq
-
-    rows = [(run_id, k, float(v if v is not None else 0)) for k, v in metrics.items()]
     table = pa.table(
         {
             "run_id": pa.array([r[0] for r in rows], pa.string()),

@@ -98,6 +98,10 @@ def run_leg(cpus: int, n_docs: int, cluster: bool = False) -> dict:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     best, legs = None, []
     for _ in range(2):  # best-of-2: first pass pays codegen + CC warmup
+        # every rep rebuilds the memoized side inputs — a memo hit would
+        # time a checkpoint read, not the curation pipeline
+        import pdf_extractor_spark.pipeline_queries as _pq
+        _pq.reset_side_memo()
         t0 = time.time()
         corpus_curation_record(spark, sf_dir).write.format("noop").mode(
             "overwrite"

@@ -87,6 +87,12 @@ def fmt(df) -> str:
 
 
 def main() -> None:
+    # plan-dump mode: keep side-input subtrees as full logical plans —
+    # without it, eager localCheckpoints inside the query functions both
+    # EXECUTE the heavy jobs during the dump and render their subtree as a
+    # checkpoint-scan leaf, hiding the join/pushdown properties this
+    # artifact exists to review. Must be set before the registry imports.
+    os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
     from pdf_extractor_spark.pipeline import build_session, extract_spans
     import pdf_extractor_spark.queries as q
     import pdf_extractor_spark.pipeline_queries  # noqa: F401
