@@ -542,3 +542,34 @@ def test_bpe_merges_match_pure_python_reference(spark, sf_dir):
             seqs[w] = out
     assert got == want
     assert len(got) == n_merges
+
+
+def test_side_memo_invalidates_on_corpus_rewrite(spark, tmp_path):
+    """The side-input memo (LSH pairs, CC labels, keep picks) keys on a
+    corpus fingerprint: rewriting documents.parquet under the SAME path
+    must rebuild — a stale hit would return clusters computed from data
+    that no longer exists (r4 review finding)."""
+    from pdf_extractor_spark.pipeline_queries import dedup_clusters
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    sf = _write_documents(spark, tmp_path, [dup, dup, "something entirely different here"])
+    first = {(r["doc_id"], r["cluster_rep"]) for r in dedup_clusters(spark, sf).collect()}
+    assert (1, 0) in first  # docs 0/1 are the duplicate pair
+
+    # rewrite IN PLACE: now docs 1/2 are the duplicate pair
+    _write_documents(spark, tmp_path, ["something entirely different here", dup, dup])
+    second = {(r["doc_id"], r["cluster_rep"]) for r in dedup_clusters(spark, sf).collect()}
+    assert (2, 1) in second and second != first
+
+
+def test_reset_side_memo_forces_rebuild(spark, tmp_path):
+    """reset_side_memo() (the bench harnesses' per-rep hook) drops every
+    cached side input so a timed rep rebuilds from the plan."""
+    import pdf_extractor_spark.pipeline_queries as pq
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    sf = _write_documents(spark, tmp_path, [dup, dup])
+    pq.dedup_minhash_bands(spark, sf).collect()
+    assert any(k[-1] == "lsh_pairs" for k in pq._SIDE_MEMO)
+    pq.reset_side_memo()
+    assert not pq._SIDE_MEMO
