@@ -1417,19 +1417,6 @@ def _langid_pred_col(lt_col):
     return pred
 
 
-def _token_count_df(spark, sf_dir):
-    """Token counting with a BPE-ish pre-tokenizer regex (letters | digits |
-    single punctuation). (Registered via the merged `text_token_fingerprint`
-    entry.)"""
-    d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(
-            F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
-        ).alias("n_tokens"),
-    )
-
-
 _QMODEL_SALT = "qw:v1"  # versions the hashed weight table
 
 
@@ -1518,38 +1505,45 @@ def text_quality_model(spark, sf_dir):
 def text_token_fingerprint(spark, sf_dir):
     """Token counting (BPE-ish pre-tokenizer regex) + order-sensitive
     document fingerprint in one registry entry (merged to keep the registry
-    under the driver's 50-entry sweep cap; the token count is a narrow map
-    on the probe side of the join, so the merged plan costs one broadcast-
-    able doc-keyed join over the fingerprint agg). Wordless documents keep
-    a row (LEFT JOIN, fingerprint coalesced to 0 on both engines)."""
-    tc = _token_count_df(spark, sf_dir)
-    fp = _fingerprint_df(spark, sf_dir)
-    return tc.join(fp, "doc_id", "left").select(
-        "doc_id", "n_tokens",
-        F.coalesce(F.col("fingerprint"), F.lit(0)).cast("bigint").alias("fingerprint"),
+    under the driver's 50-entry sweep cap). Both are in-row columns on one
+    scan, so the merged plan is a single narrow projection — no join.
+    Wordless documents fingerprint as 0 on both engines (empty fold /
+    LEFT JOIN coalesce)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+        ).alias("n_tokens"),
+        _fingerprint_col().alias("fingerprint"),
     )
 
 
-def _fingerprint_df(spark, sf_dir):
+def _fingerprint_col():
     """Order-sensitive document fingerprint: position-weighted sum of word
-    hashes mod 2^31−1 (a rolling-hash analog that is a pure grouped agg).
+    hashes mod 2^31−1 (a rolling-hash analog), computed ENTIRELY in-row —
+    filter the word array, transform(word, i) to per-term (h·pos) mod m,
+    fold with aggregate(). The original formulation exploded every word and
+    ranked it with a per-doc window: at 10^12 docs that is two full
+    corpus-words exchanges (window sort + grouped sum) for a value each row
+    can compute alone; this one is a pure codegen map, zero exchange.
 
     Hardened for cross-engine agreement: the modulo is applied PER TERM
-    inside the sum (modular addition distributes), which bounds every
-    partial sum below 2^31·n — Spark's int64 sum cannot wrap on any real
-    document, and the oracle result is cast to BIGINT so DuckDB's
+    inside the fold (modular addition distributes), which bounds every
+    partial sum below 2^31·(n+1) — int64 cannot wrap on any real document,
+    and the oracle result is cast to BIGINT so DuckDB's
     sum-promotes-to-HUGEINT never reaches the comparison layer as a
-    float-converted value. NULL text coalesces to '' on both sides."""
-    d = t(spark, sf_dir, "documents")
+    float-converted value. NULL text coalesces to '' on both sides; the
+    word positions of the filtered array match the oracle's row_number
+    over non-empty words by construction."""
     txt = F.coalesce(F.col("text"), F.lit(""))
-    words = d.select(
-        "doc_id", F.posexplode(F.split(F.lower(txt), " ")).alias("p", "word")
-    ).where(F.col("word") != "")
-    wspec = Window.partitionBy("doc_id").orderBy("p")
-    words = words.withColumn("pos", F.row_number().over(wspec))
-    m = F.lit(2147483647)
-    return words.groupBy("doc_id").agg(
-        (F.sum((_h32(F.col("word")) * F.col("pos")) % m) % m).alias("fingerprint")
+    words = F.filter(F.split(F.lower(txt), " "), lambda w: w != "")
+    m = F.lit(2147483647).cast("bigint")
+    terms = F.transform(
+        words, lambda w, i: (_h32(w) * (i.cast("bigint") + 1)) % m
+    )
+    return F.aggregate(
+        terms, F.lit(0).cast("bigint"), lambda acc, x: (acc + x) % m
     )
 
 
