@@ -31,6 +31,7 @@ PLAN_QUERIES = [
     "w5_sessionize",
     "text_winnowing",
     "text_langid",
+    "text_token_fingerprint",
     "dedup_winnow_pairs",
     "text_quality_model",
     "corpus_decontaminate",
@@ -69,6 +70,13 @@ NOTES = {
         "(hinted BroadcastHashJoin in this plan), unhinted past ~4M rows "
         "so AQE picks the doc_id shuffle join instead of a driver-OOM "
         "broadcast at web-crawl dup rates."
+    ),
+    "text_token_fingerprint": (
+        "Zero-exchange: the order-sensitive fingerprint is an in-row "
+        "fold (filter -> transform(word, i) -> aggregate) and the token "
+        "count a regexp length — one narrow projection on one scan, no "
+        "explode, no window, no join (the r4 rewrite removed two full "
+        "corpus-words exchanges)."
     ),
     "dedup_signatures": (
         "MinHash + SimHash fused into ONE explode + ONE grouped agg (a "
