@@ -1526,7 +1526,12 @@ def _fingerprint_col():
     fold with aggregate(). The original formulation exploded every word and
     ranked it with a per-doc window: at 10^12 docs that is two full
     corpus-words exchanges (window sort + grouped sum) for a value each row
-    can compute alone; this one is a pure codegen map, zero exchange.
+    can compute alone; this one is a pure narrow map, zero exchange.
+    (Higher-order functions sit outside whole-stage codegen, but losing
+    codegen on the hash costs less than the exchanges: measured at 400k
+    docs × 40 words on 32 cores, 2.99 s explode+window vs 1.84 s in-row,
+    identical outputs — and the gap is structural, growing with the shuffle
+    volume the fold never pays.)
 
     Hardened for cross-engine agreement: the modulo is applied PER TERM
     inside the fold (modular addition distributes), which bounds every
