@@ -1455,27 +1455,33 @@ def text_quality_model(spark, sf_dir):
     cross-engine comparison. The mean weight is sum_w / n_tok / 2^31 in
     (-1, 1) for consumers that want a calibrated-ish score.
 
-    Scale shape: tokens explode, the per-token hash stays in whole-stage
-    codegen, and the per-doc (count, sum) aggregate combines map-side — the
-    exchange carries one partial row per doc per partition, never token
-    rows. explode_outer keeps empty documents in the output (n_tok=0,
-    keep=false) without a join back to the corpus. The oracle states the
-    same sum in-row (list_transform/list_sum) with the ::BIGINT cast
-    keeping DuckDB's HUGEINT sum out of the comparison layer."""
+    Scale shape: ENTIRELY in-row, matching the oracle's own
+    list_transform/list_sum statement — filter the word array, transform
+    each word to its centered bucket weight, fold with aggregate(). Zero
+    exchange, zero explode: the original explode_outer + groupBy(doc_id)
+    shape shuffled one small row per document — free at bench scale, a
+    10^12-row exchange at corpus scale — purely to reassemble per-doc sums
+    each row can fold alone (measured at 400k docs × 40 words on 32
+    cores: 5.69 s explode+groupBy vs 3.30 s in-row, identical outputs).
+    Empty documents fold to (n_tok=0, sum_w=0, keep=false) with no join
+    back. The ::BIGINT casts keep DuckDB's HUGEINT sum out of the
+    comparison layer."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode_outer(
-            F.expr("filter(split(lower(coalesce(text, '')), ' '), w -> w != '')")
-        ).alias("w"),
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda w: w != "",
     )
-    centered = _h32(
-        F.concat(F.col("w"), F.lit(f":{_QMODEL_SALT}"))
-    ) - F.lit(2147483648)
-    return toks.groupBy("doc_id").agg(
-        F.count("w").alias("n_tok"),
-        F.coalesce(F.sum(centered), F.lit(0)).cast("bigint").alias("sum_w"),
-        (F.coalesce(F.sum(centered), F.lit(0)) > 0).alias("keep"),
+    terms = F.transform(
+        words,
+        lambda w: _h32(F.concat(w, F.lit(f":{_QMODEL_SALT}")))
+        - F.lit(2147483648),
+    )
+    sum_w = F.aggregate(terms, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_tok"),
+        sum_w.alias("sum_w"),
+        (sum_w > 0).alias("keep"),
     )
 
 
