@@ -1938,7 +1938,17 @@ def text_repetition(spark, sf_dir):
     count → per-doc agg. Both aggregations are partial-agg (map-side
     combine) shapes, and AQE coalesces the tiny second shuffle; no windows,
     no joins. Ratios are computed in the final agg so only (doc, word, cnt)
-    rows ever shuffle."""
+    rows ever shuffle.
+
+    Kept in this shape deliberately: the in-row alternative (sort_array +
+    an aggregate() fold tracking run lengths) that paid off for the
+    fingerprint and quality-model queries LOSES here — measured at 400k
+    docs × 34 words on 32 cores, 0.87 s for this explode+groupBy vs
+    1.49 s for the fold. The fold's per-word string compare + struct
+    allocation runs interpreted (higher-order functions sit outside
+    codegen) while both hash aggregates here are whole-stage codegen and
+    a doc's words never leave their map partition before partial agg —
+    the exchange it would remove is already small."""
     d = t(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
