@@ -210,7 +210,11 @@ def dedup_minhash_bands(spark, sf_dir):
     # for nothing: the grouped mins are duplicate-insensitive, but hashing
     # each duplicate shingle 8× isn't free either, so dedup in-row first).
     # The min agg then partial-aggregates map-side and the only shuffle
-    # ships (doc_id, 8×int).
+    # ships (doc_id, 8×int). An in-row alternative (8× array_min over
+    # transform'd hash arrays, as the fingerprint/quality-model rewrites
+    # use) was measured and rejected: 143 s vs 21 s at 400k docs —
+    # Catalyst does not share the hashed-shingle subexpression across the
+    # 8 output columns, so every shingle md5 runs 8× interpreted.
     shingles = toks.select(
         "doc_id",
         F.explode(
