@@ -1481,12 +1481,18 @@ def text_quality_model(spark, sf_dir):
         - F.lit(2147483648),
     )
     sum_w = F.aggregate(terms, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    # keep derives from the ALREADY-NAMED sum_w column, not a second copy of
+    # the fold expression: Catalyst does not CSE expensive duplicate
+    # expressions across output columns (the same no-CSE pathology measured
+    # at 143s-vs-21s on the rejected in-row minhash variant), so inlining
+    # (sum_w > 0) here would md5-hash and fold every word twice per row.
+    # CollapseProject keeps the two projections separate because the
+    # producer expression is expensive — verified one md5 per plan.
     return d.select(
         "doc_id",
         F.size(words).cast("bigint").alias("n_tok"),
         sum_w.alias("sum_w"),
-        (sum_w > 0).alias("keep"),
-    )
+    ).withColumn("keep", F.col("sum_w") > 0)
 
 
 @register(
