@@ -34,7 +34,14 @@ sys.path.insert(0, REPO)
 
 CACHE = os.environ.get("SPARK_GRAFT_CURATION_CACHE", "/tmp/spark_graft_curation")
 N_DOCS = int(os.environ.get("SPARK_GRAFT_CURATION_DOCS", "100000"))
-LEGS = (8, 32)
+# N and 4N total cores. Default (8, 32) spans the socket's bandwidth
+# plateau (BENCH/membw.jsonl: ~330 GB/s flat past ~8 busy cores);
+# override with e.g. SPARK_GRAFT_CURATION_LEGS=4,16 to keep BOTH legs
+# below the plateau and measure the engine's scaling with the memory
+# wall out of the picture.
+LEGS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_CURATION_LEGS", "8,32").split(",")
+)
 RUNS_LOG = os.path.join(REPO, "BENCH", "curation_runs.jsonl")
 
 _H32 = "cast(conv(substring(md5({0}), 1, 8), 16, 10) as bigint)"
@@ -83,8 +90,15 @@ def run_leg(cpus: int, n_docs: int, cluster: bool = False) -> dict:
 
     # cluster mode: the master comes from spark-submit (local-cluster[E,C,m]
     # — E real executor JVMs); build_session(master=None) inherits it.
+    # Shuffle partitions default to the leg's core count (the historic
+    # protocol). SPARK_GRAFT_CURATION_SP overrides with a DATA-sized count
+    # identical across legs: shuffle partitions should track shuffle bytes,
+    # not cores — at 2.4M docs, sp=4 on the 4-core leg puts ~600k docs of
+    # band-join rows in each shuffle partition (spill regime), while AQE
+    # coalescing makes a larger initial count safe on any core count.
+    sp = int(os.environ.get("SPARK_GRAFT_CURATION_SP", "0")) or cpus
     spark = build_session(
-        master=None if cluster else f"local[{cpus}]", shuffle_partitions=cpus,
+        master=None if cluster else f"local[{cpus}]", shuffle_partitions=sp,
         app_name=f"curation-scaling-{cpus}",
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -113,6 +127,7 @@ def run_leg(cpus: int, n_docs: int, cluster: bool = False) -> dict:
     spark.stop()
     row = {
         "op": "corpus_curation_record", "n_docs": n_docs, "cpus": cpus,
+        "shuffle_partitions": sp,
         "seconds": round(best, 3), "docs_per_sec": round(n_docs / best, 2),
         "legs": legs,
     }
