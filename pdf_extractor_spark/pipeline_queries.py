@@ -243,10 +243,17 @@ def dedup_minhash_bands(spark, sf_dir):
     # busy JVM (2→18 s swings from cache-materialization scheduling), and
     # at cluster scale caching a shuffle input buys nothing the exchange
     # reuse doesn't already provide.
+    # The band key is xxhash64 over the 4-signature tuple — an 8-byte
+    # BIGINT, where the previous md5(concat_ws(...)) hex key was a 32-char
+    # string: the band self-join's shuffle rows shrink ~60% and the join
+    # probe compares longs instead of strings. Equal signature tuples hash
+    # equal under either key, so the pair set matches the oracle's
+    # md5-string formulation exactly up to 64-bit collisions between
+    # NON-equal tuples (~n_bands²/2^64 — immaterial against LSH's own
+    # design false-positive rate). Both band positions use the same hash,
+    # mirroring the oracle's uniform treatment.
     def band(cols):
-        return "md5(concat_ws('_', {}))".format(
-            ", ".join(f"cast({c} as string)" for c in cols)
-        )
+        return "xxhash64({})".format(", ".join(cols))
 
     bands = sigs.selectExpr(
         "doc_id",
