@@ -766,14 +766,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ).otherwise(F.array().cast("array<int>"))
     # per-doc distinct via array_distinct before the explode (narrow) — a
     # .distinct() on the exploded relation would shuffle every gram row
+    # gram = xxhash64 of the bigram string, computed inside the transform:
+    # the string never leaves the lambda, so array_distinct compares longs
+    # and BOTH gram-keyed exchanges (the df groupBy and the self-join) ship
+    # 8-byte keys instead of bigram strings. Join/count semantics match the
+    # string form up to 64-bit collisions (immaterial); the oracle checks
+    # (doc_a, doc_b, jaccard), never gram values.
     grams0 = toks.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
                     idx,
-                    lambda i: F.concat_ws(
-                        " ", F.element_at("l", i), F.element_at("l", i + 1)
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ", F.element_at("l", i), F.element_at("l", i + 1)
+                        )
                     ),
                 )
             )
@@ -2189,11 +2197,20 @@ _GRAMS_SPARK = (
     # greatest(size-2, 0) bound makes any doc with < _DECON_N tokens hit
     # element_at past the array end — an ANSI-mode job kill, caught by
     # test_curation_record_fusion_equals_composition's 1-token doc
+    # Each gram is hashed to a BIGINT (xxhash64) the moment it is built:
+    # the gram string exists only inside the transform lambda, so distinct/
+    # collect_set/broadcast/join all operate on 8-byte longs instead of
+    # ~100-char 13-word strings — the broadcast becomes the long[] set the
+    # decontamination docstring promises, and the join probe compares
+    # longs. Overlap counts match the string formulation up to 64-bit
+    # collisions between non-equal grams (immaterial). The DuckDB oracle
+    # keeps string grams: it compares doc-level flags/counts, not gram
+    # values, so the hash never reaches a checked column.
     f"CASE WHEN size(l) >= {_DECON_N} THEN "
     f"transform(sequence(1, size(l) - {_DECON_N - 1}), "
-    "i -> concat_ws(' ', "
+    "i -> xxhash64(concat_ws(' ', "
     + ", ".join(f"element_at(l, i + {k})" for k in range(_DECON_N))
-    + ")) ELSE array() END"
+    + "))) ELSE cast(array() as array<bigint>) END"
 )
 
 
@@ -2231,8 +2248,9 @@ def corpus_decontaminate(spark, sf_dir):
     dedups in-row via array_distinct, and the broadcast hash join + per-doc
     count never shuffles corpus grams. The only exchanges are the per-doc
     hit agg (tiny: matched grams only) and the left join back — which AQE
-    turns into a broadcast of the hit relation. At 13-grams with a hashed
-    gram key the broadcast is a long[] bloom-style set; same plan."""
+    turns into a broadcast of the hit relation. Grams are xxhash64-hashed
+    to BIGINT at build (_GRAMS_SPARK), so the broadcast is a long[] set
+    rather than a table of 13-word strings."""
     d = t(spark, sf_dir, "documents")
     out = (
         d.where(F.col("doc_id") % _DECON_BENCH_MOD != 0)

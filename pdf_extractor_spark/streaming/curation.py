@@ -87,7 +87,8 @@ def curation_stream(
     ``thresholds`` is the static (source, cutoff) relation
     (pipeline_queries._mix_thresholds over a policy snapshot);
     ``bench_row`` is a static ONE-ROW frame with column ``bench_grams:
-    array<string>`` (benchmark_gram_row). Gate semantics are bit-identical
+    array<bigint>`` (benchmark_gram_row; grams are xxhash64-hashed at
+    build, matching _GRAMS_SPARK's batch representation). Gate semantics are bit-identical
     to the batch record: the same column helpers build the expressions."""
     from pdf_extractor_spark.pipeline_queries import (
         _GRAMS_SPARK,
@@ -159,9 +160,9 @@ def curation_stream(
 
 
 def benchmark_gram_row(bench_docs: DataFrame) -> DataFrame:
-    """Static one-row (bench_grams: array<string>) side input: the distinct
-    word n-grams of the benchmark slice, built with the same _GRAMS_SPARK
-    window the batch decontaminate uses."""
+    """Static one-row (bench_grams: array<bigint>) side input: the distinct
+    xxhash64-hashed word n-grams of the benchmark slice, built with the
+    same _GRAMS_SPARK expression the batch decontaminate uses."""
     from pdf_extractor_spark.pipeline_queries import _GRAMS_SPARK
 
     return (
