@@ -766,12 +766,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ).otherwise(F.array().cast("array<int>"))
     # per-doc distinct via array_distinct before the explode (narrow) — a
     # .distinct() on the exploded relation would shuffle every gram row
-    # gram = xxhash64 of the bigram string, computed inside the transform:
-    # the string never leaves the lambda, so array_distinct compares longs
-    # and BOTH gram-keyed exchanges (the df groupBy and the self-join) ship
-    # 8-byte keys instead of bigram strings. Join/count semantics match the
-    # string form up to 64-bit collisions (immaterial); the oracle checks
-    # (doc_a, doc_b, jaccard), never gram values.
+    # gram = xxhash64 over the two token columns directly (seed-chained
+    # per argument — no bigram string is ever allocated), so array_distinct
+    # compares longs and BOTH gram-keyed exchanges (the df groupBy and the
+    # self-join) ship 8-byte keys instead of bigram strings. Join/count
+    # semantics match the string form up to 64-bit collisions (immaterial);
+    # the oracle checks (doc_a, doc_b, jaccard), never gram values.
     grams0 = toks.select(
         "doc_id",
         F.explode(
@@ -779,9 +779,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
                 F.transform(
                     idx,
                     lambda i: F.xxhash64(
-                        F.concat_ws(
-                            " ", F.element_at("l", i), F.element_at("l", i + 1)
-                        )
+                        F.element_at("l", i), F.element_at("l", i + 1)
                     ),
                 )
             )
@@ -2197,20 +2195,23 @@ _GRAMS_SPARK = (
     # greatest(size-2, 0) bound makes any doc with < _DECON_N tokens hit
     # element_at past the array end — an ANSI-mode job kill, caught by
     # test_curation_record_fusion_equals_composition's 1-token doc
-    # Each gram is hashed to a BIGINT (xxhash64) the moment it is built:
-    # the gram string exists only inside the transform lambda, so distinct/
-    # collect_set/broadcast/join all operate on 8-byte longs instead of
-    # ~100-char 13-word strings — the broadcast becomes the long[] set the
-    # decontamination docstring promises, and the join probe compares
-    # longs. Overlap counts match the string formulation up to 64-bit
+    # Each gram is a BIGINT from the moment it exists: xxhash64 takes the
+    # 13 token columns DIRECTLY (seed-chained per argument), so no gram
+    # string is ever allocated — the 400k-doc profile showed the
+    # concat_ws-then-hash form still paying ~100 chars of garbage per gram
+    # position (~150M grams corpus-wide). distinct/collect_set/broadcast/
+    # join all operate on 8-byte longs: the benchmark broadcast is a
+    # long[] set and the join probe compares longs. Per-argument chaining
+    # also removes concat's token-boundary ambiguity ("a b"+"c" vs
+    # "a"+"b c"). Overlap counts match the string formulation up to 64-bit
     # collisions between non-equal grams (immaterial). The DuckDB oracle
     # keeps string grams: it compares doc-level flags/counts, not gram
     # values, so the hash never reaches a checked column.
     f"CASE WHEN size(l) >= {_DECON_N} THEN "
     f"transform(sequence(1, size(l) - {_DECON_N - 1}), "
-    "i -> xxhash64(concat_ws(' ', "
+    "i -> xxhash64("
     + ", ".join(f"element_at(l, i + {k})" for k in range(_DECON_N))
-    + "))) ELSE cast(array() as array<bigint>) END"
+    + ")) ELSE cast(array() as array<bigint>) END"
 )
 
 
