@@ -539,7 +539,7 @@ def _decode_pdf_string(raw: bytes, enc_map=None) -> str:
             return b[2:].decode("utf-16-be")
         except UnicodeDecodeError:
             return ""
-    if isinstance(enc_map, (CMapEncoding, IdentityCIDEncoding)):
+    if isinstance(enc_map, _CID_DECODERS):
         return enc_map.decode(b)
     return _bytes_to_text(b, enc_map)
 
@@ -718,6 +718,62 @@ class IdentityCIDEncoding:
         return _UNPARSED
 
 
+class UnicodeCMapEncoding:
+    """Predefined Uni{GB,JIS,KS,CNS}-{UCS2,UTF16}-{H,V} encoding CMaps
+    (PDF 32000-1 §9.7.5.2; CJK registry ordering supplements): for this
+    family the CHARACTER CODES ARE UCS-2 / UTF-16BE Unicode values — the
+    predefined CMap only maps them onward to glyph CIDs. Text recovery
+    therefore needs no table at all: decode the string bytes as UTF-16BE
+    directly (surrogate pairs in the UTF16 variants come out naturally).
+    This is exact, not heuristic — the common CJK-generator case that
+    previously landed entirely in the hex-string control-byte guard
+    (silent suppression) now yields real text."""
+
+    __slots__ = ()
+
+    nbytes = 2
+
+    def decode(self, raw: bytes):
+        try:
+            text = raw.decode("utf-16-be", "ignore")
+        except Exception:
+            return _UNPARSED
+        # NULs arise from odd-length tails; strip control chars only
+        text = text.replace("\x00", "")
+        return text if text else (_UNPARSED if raw else "")
+
+
+class UnknownCIDEncoding:
+    """Type0 font via a predefined CMap that is neither Identity nor a
+    UCS2/UTF16 family member (GBK-EUC-H, 90ms-RKSJ-H, B5pc-H, ETen-B5-H,
+    KSCms-UHC-H, …) and has no /ToUnicode: recovering text needs the full
+    predefined CMap tables (Adobe character collections — not embedded in
+    the file and not shipped here), so degrade to the typed
+    :data:`_UNPARSED` marker. The run surfaces as a ``kind='unparsed'``
+    span — position and extent preserved, no mojibake — instead of being
+    silently swallowed by the control-byte guard."""
+
+    __slots__ = ()
+
+    # most predefined CJK CMaps use mixed 1-2 byte codes; the width only
+    # sizes the (discarded) code iteration, so 2 is safe
+    nbytes = 2
+
+    def decode(self, raw: bytes):
+        return _UNPARSED if raw else ""
+
+
+# every CID-aware decoder a font resource can map to (dispatch sites in
+# _decode_pdf_string / _decode_hex_string)
+_CID_DECODERS = (
+    CMapEncoding, IdentityCIDEncoding, UnicodeCMapEncoding, UnknownCIDEncoding,
+)
+
+# predefined CMap name whose codes are raw Unicode (see UnicodeCMapEncoding)
+_UNICODE_CMAP_RE = re.compile(rb"Uni(?:GB|JIS|JIS2004|KS|CNS)-(?:UCS2|UTF16)-[HV]$")
+_ENC_NAME_RE = re.compile(rb"/([A-Za-z0-9][A-Za-z0-9-]*)")
+
+
 _CMAP_SECTION_RE = {
     "bfchar": re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL),
     "bfrange": re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL),
@@ -818,7 +874,7 @@ def _decode_hex_string(raw: bytes, enc_map=None) -> str:
       contract) rather than garbage."""
     if not raw:
         return ""
-    if isinstance(enc_map, (CMapEncoding, IdentityCIDEncoding)):
+    if isinstance(enc_map, _CID_DECODERS):
         return enc_map.decode(raw)
     if enc_map:
         return _bytes_to_text(raw, enc_map)
@@ -1239,15 +1295,26 @@ def _font_encodings(page_dict: bytes, objects) -> Dict[str, Any]:
                         cmap = parse_tounicode_cmap(decoded)
         if cmap is not None:
             out[name] = cmap
-        elif b"/Type0" in font_dict and (
-            b"/Identity-H" in font_dict or b"/Identity-V" in font_dict
-        ):
-            # Identity-encoded Type0 subset font with no usable /ToUnicode:
-            # predefined Identity CMap semantics (2-byte CIDs) with the
-            # best-effort ASCII heuristic / typed-unparsed fallback —
-            # previously these runs were silently suppressed by the
-            # hex-string control-byte guard
-            out[name] = IdentityCIDEncoding()
+        elif b"/Type0" in font_dict:
+            if b"/Identity-H" in font_dict or b"/Identity-V" in font_dict:
+                # Identity-encoded Type0 subset font with no usable
+                # /ToUnicode: predefined Identity CMap semantics (2-byte
+                # CIDs) with the best-effort ASCII heuristic /
+                # typed-unparsed fallback — previously these runs were
+                # silently suppressed by the hex-string control-byte guard
+                out[name] = IdentityCIDEncoding()
+            elif enc_raw is not None:
+                # predefined (named) CMap — PDF 32000-1 §9.7.5.2 table 118
+                nm = _ENC_NAME_RE.match(enc_raw.lstrip())
+                if nm is not None:
+                    if _UNICODE_CMAP_RE.match(nm.group(1)):
+                        # Uni*-UCS2/UTF16: codes ARE Unicode → exact decode
+                        out[name] = UnicodeCMapEncoding()
+                    else:
+                        # any other predefined CMap (GBK-EUC-H, 90ms-RKSJ-H,
+                        # B5pc-H, …): needs Adobe CID tables we don't ship
+                        # → typed kind='unparsed' degradation
+                        out[name] = UnknownCIDEncoding()
     return out
 
 
@@ -1364,16 +1431,51 @@ def _apply_rotation(
     return [remap(s) for s in spans], new_pw, new_ph
 
 
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)")
+
+
 def tokenize_pdf(data: bytes) -> Dict[str, Any]:
     """bytes → {'page_width', 'page_height', 'spans': [PdfSpan, ...]}.
 
     Spans are in content-stream order; reading-order sort + offsets are a
     separate (Spark-side) stage — see :mod:`pdf_extractor_spark.assemble`.
     Never raises; unparseable inputs yield an empty span list.
+
+    Encrypted documents (/Encrypt in the trailer or xref-stream dict, PDF
+    32000-1 §7.6) have their strings and streams RC4/AES-encrypted; without
+    the file key the content is unrecoverable, but the document STRUCTURE
+    (xref, page dicts, MediaBox) stays plaintext. Previously stream decode
+    simply failed on the ciphertext and the doc came back as an empty page
+    — indistinguishable from genuinely blank. Now the result is a typed
+    doc-level fallback: ``encrypted: True`` plus one ``kind='unparsed'``
+    span covering the page, so downstream curation can count/route these
+    instead of treating them as empty.
     """
     empty = {"page_width": 0.0, "page_height": 0.0, "spans": []}
     if not data or not data.startswith(b"%PDF"):
         return empty
+    if _ENCRYPT_RE.search(data) is not None:
+        # the key shape `/Encrypt N 0 R` (or inline dict) only appears as a
+        # trailer key in practice; a literal hit inside an (uncompressed)
+        # content stream is theoretically possible but would merely demote
+        # that doc to the typed fallback, never corrupt text
+        pw, ph = 612.0, 792.0
+        try:
+            objects = _scan_objects(data)
+            page = _first_page(objects)
+            if page is not None:
+                pw, ph = _media_box(objects[page][0], objects)
+        except Exception:
+            pass
+        return {
+            "page_width": pw,
+            "page_height": ph,
+            "encrypted": True,
+            "spans": [{
+                "kind": "unparsed", "text": "", "media_ref": None,
+                "x0": 0.0, "y0": 0.0, "x1": pw, "y1": ph, "size": 0.0,
+            }],
+        }
     try:
         objects = _scan_objects(data)
         page = _first_page(objects)

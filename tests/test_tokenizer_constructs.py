@@ -519,6 +519,105 @@ def test_identity_h_ascii_cids_decode_without_tounicode():
     assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["Hello"]
 
 
+# --- predefined (named) CMaps -----------------------------------------------
+
+
+def test_predefined_ucs2_cmap_decodes_unicode():
+    # UniGB-UCS2-H: character codes ARE UCS-2 — <4F60 597D> is 你好.
+    # No /ToUnicode needed; previously the control-byte guard suppressed it.
+    font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/STSong-Light "
+            b"/Encoding/UniGB-UCS2-H >> endobj")
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <4F60597D> Tj ET"
+    pdf = _pdf_with_font(ops, [font], b"/F1 10 0 R")
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["你好"]
+
+
+def test_predefined_utf16_cmap_decodes_surrogate_pair():
+    # UniJIS-UTF16-H: codes are UTF-16BE, incl. surrogate pairs —
+    # <D842DFB7> is U+20BB7 (𠮷)
+    font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/KozMinPr6N "
+            b"/Encoding/UniJIS-UTF16-H >> endobj")
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <D842DFB7> Tj ET"
+    pdf = _pdf_with_font(ops, [font], b"/F1 10 0 R")
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["\U00020bb7"]
+
+
+def test_predefined_ucs2_cmap_literal_string_form():
+    # the same UCS-2 codes can arrive in a literal string, not only hex
+    font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/STSong-Light "
+            b"/Encoding/UniGB-UCS2-H >> endobj")
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm (\x4f\x60\x59\x7d) Tj ET"
+    pdf = _pdf_with_font(ops, [font], b"/F1 10 0 R")
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["你好"]
+
+
+def test_predefined_nonunicode_cmap_degrades_to_typed_unparsed():
+    # GBK-EUC-H: code→CID needs Adobe-GB1 tables we don't ship → the run
+    # must surface as a typed kind='unparsed' span (position preserved,
+    # no mojibake), never silent suppression
+    font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/STSong-Light "
+            b"/Encoding/GBK-EUC-H >> endobj")
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <C4E3BAC3> Tj ET"
+    pdf = _pdf_with_font(ops, [font], b"/F1 10 0 R")
+    result = tokenize_pdf(pdf)
+    assert _texts(result) == []
+    unparsed = [s for s in result["spans"] if s["kind"] == "unparsed"]
+    assert len(unparsed) == 1
+    assert unparsed[0]["text"] == ""
+    assert (round(unparsed[0]["x0"], 1), round(unparsed[0]["y0"], 1)) == (50.0, 700.0)
+
+
+def test_predefined_cmap_tounicode_still_wins():
+    # a /ToUnicode stream beats the predefined-CMap fallback when present
+    font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/STSong-Light "
+            b"/Encoding/GBK-EUC-H /ToUnicode 11 0 R >> endobj")
+    cmap = _tounicode_obj(11, _CMAP_HELLO)
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <00030004000500050007> Tj ET"
+    pdf = _pdf_with_font(ops, [font, cmap], b"/F1 10 0 R")
+    assert [t for t, _, _ in _texts(tokenize_pdf(pdf))] == ["Hello"]
+
+
+# --- encrypted documents ----------------------------------------------------
+
+
+def _encrypted_pdf() -> bytes:
+    # structure plaintext, content stream "ciphertext" (here: junk bytes a
+    # Flate decode rejects — exactly what RC4/AES output looks like to the
+    # decoder), /Encrypt ref in the trailer
+    junk = b"\x93\x7f\x02\xe1\xab\x55" * 10
+    objs = [
+        b"1 0 obj << /Type/Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type/Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type/Page /Parent 2 0 R /MediaBox [0 0 595 842] "
+        b"/Contents 4 0 R >> endobj",
+        b"4 0 obj << /Length %d /Filter /FlateDecode >> stream\n%s\nendstream endobj"
+        % (len(junk), junk),
+        b"5 0 obj << /Filter/Standard /V 2 /R 3 /O (x) /U (y) /P -44 >> endobj",
+    ]
+    return (b"%PDF-1.4\n" + b"\n".join(objs)
+            + b"\ntrailer << /Root 1 0 R /Encrypt 5 0 R >>\n%%EOF")
+
+
+def test_encrypted_pdf_emits_typed_doc_level_fallback():
+    # /Encrypt present: strings+streams are ciphertext. The doc must come
+    # back flagged with ONE page-covering kind='unparsed' span — not as a
+    # silently empty page (the pre-r5 behavior: stream decode fails, zero
+    # spans, indistinguishable from blank)
+    result = tokenize_pdf(_encrypted_pdf())
+    assert result.get("encrypted") is True
+    assert (result["page_width"], result["page_height"]) == (595.0, 842.0)
+    assert [s["kind"] for s in result["spans"]] == ["unparsed"]
+    span = result["spans"][0]
+    assert span["text"] == "" and span["media_ref"] is None
+    assert (span["x0"], span["y0"], span["x1"], span["y1"]) == (0.0, 0.0, 595.0, 842.0)
+
+
+def test_unencrypted_pdf_not_flagged():
+    result = tokenize_pdf(_pdf(BASIC))
+    assert "encrypted" not in result
+    assert [t for t, _, _ in _texts(result)] == ["hello"]
+
+
 # --- ASCII85 filter ---------------------------------------------------------
 
 
