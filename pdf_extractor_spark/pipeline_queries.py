@@ -2860,6 +2860,113 @@ def _stream_curation_sql() -> str:
          ORDER BY d.doc_id) = 1"""
 
 
+def _fresh_stream_dir(prefix: str) -> str:
+    """Fresh tmp dir for a one-shot stream run, sweeping prior runs' dirs
+    older than 30 min (each invocation needs a fresh checkpoint — resumed
+    state would dedup across driver re-runs and change the result; the
+    returned DataFrame lazily reads the new dir, so cleanup of THIS dir
+    can only happen on a later call)."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    cutoff = _time.time() - 1800
+    for old in _glob.glob(os.path.join(_tempfile.gettempdir(), prefix + "*")):
+        try:
+            if os.path.getmtime(old) < cutoff:
+                _shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+    return _tempfile.mkdtemp(prefix=prefix)
+
+
+_STREAM_STATEFUL_SQL = """
+    WITH ded AS (
+      SELECT 'dedup' AS part,
+             sha256(CASE WHEN text IS NULL THEN '0' ELSE '1' || text END) AS k1,
+             printf('doc_%09d', doc_id) AS k2,
+             coalesce(n_chars, 0)::BIGINT AS n
+      FROM documents
+      QUALIFY row_number() OVER (
+        PARTITION BY sha256(CASE WHEN text IS NULL THEN '0' ELSE '1' || text END)
+        ORDER BY printf('doc_%09d', doc_id)) = 1
+    ), wm AS (
+      SELECT max(epoch_ms(ts)) - 600000 AS w FROM events
+    ), win AS (
+      SELECT 'window' AS part,
+             CAST(epoch(time_bucket(INTERVAL '5 minutes', ts))::BIGINT AS VARCHAR) AS k1,
+             event_type AS k2,
+             count(*)::BIGINT AS n
+      FROM events, wm
+      WHERE (epoch(time_bucket(INTERVAL '5 minutes', ts))::BIGINT + 300) * 1000 <= wm.w
+      GROUP BY 1, 2, 3
+    )
+    SELECT * FROM ded UNION ALL SELECT * FROM win"""
+
+
+@register("stream_stateful_batch", _STREAM_STATEFUL_SQL)
+def stream_stateful_batch(spark, sf_dir):
+    """BOTH custom stateful streaming operators under the driver's hash
+    gate (VERDICT r4 task #3), one part-discriminated relation:
+
+    * part='dedup' — applyInPandasWithState first-seen exact dedup
+      (streaming/stateful.py dedup_stream) over the documents table.
+      The input dir stages the documents file via TWO symlinks, so every
+      text arrives twice in one availableNow run: the state store must
+      drop the full replay, and the oracle (min-doc_id per content hash
+      over the single table) only matches if it did.
+    * part='window' — watermarked 5-min tumbling counts over events in
+      append mode. availableNow's final watermark = max(event ts) −
+      10 min; only windows whose end has passed it are emitted, and the
+      oracle states exactly that cutoff in batch SQL (epoch_ms math,
+      boundary-exact against Spark's ms watermark).
+
+    Green hash = stream ≡ batch for both stateful operators — the r4
+    pytest-only coverage (`test_stateful_streaming`) promoted to a driver
+    row."""
+    from pdf_extractor_spark.streaming.stateful import (
+        run_doc_dedup_stream, run_windowed_counts,
+    )
+
+    out_dir = _fresh_stream_dir("stream_stateful_")
+    docs_in = os.path.join(out_dir, "docs_in")
+    events_in = os.path.join(out_dir, "events_in")
+    os.makedirs(docs_in, exist_ok=True)
+    os.makedirs(events_in, exist_ok=True)
+    src_docs = os.path.join(sf_dir, "documents.parquet")
+    # two paths, one file: a deterministic full-duplicate replay
+    os.symlink(src_docs, os.path.join(docs_in, "a.parquet"))
+    os.symlink(src_docs, os.path.join(docs_in, "b.parquet"))
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(events_in, "events.parquet"),
+    )
+    # pin a small state-store width for this fresh checkpoint (see
+    # stream_curation_batch for why), restore the caller's setting after
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        run_doc_dedup_stream(spark, docs_in, out_dir)
+        run_windowed_counts(spark, events_in, out_dir)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
+    ded = spark.read.parquet(os.path.join(out_dir, "unique")).select(
+        F.lit("dedup").alias("part"),
+        F.col("content_hash").alias("k1"),
+        F.col("doc_id").alias("k2"),
+        F.coalesce(F.col("size_bytes"), F.lit(0)).alias("n"),
+    )
+    win = spark.read.parquet(os.path.join(out_dir, "window_counts")).select(
+        F.lit("window").alias("part"),
+        F.col("window_start").cast("string").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n"),
+    )
+    return ded.unionAll(win)
+
+
 @register("stream_curation_batch", _stream_curation_sql())
 def stream_curation_batch(spark, sf_dir):
     """The STREAMING curation feed (streaming/curation.py) under the

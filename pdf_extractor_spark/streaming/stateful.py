@@ -128,6 +128,49 @@ def run_dedup_stream(
     return q
 
 
+def run_doc_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    output_dir: str,
+    await_termination: bool = True,
+):
+    """availableNow first-seen dedup over a DOCUMENTS-shaped parquet dir
+    (doc_id long, text, lang, source, n_chars) — the driver-witness form:
+    content hash uses the same '0'/'1'+text NULL-vs-empty marker as the
+    curation stream, doc_id is zero-padded (`doc_%09d`) so the kernel's
+    lexical min equals the numeric min, and n_chars rides as size_bytes."""
+    from pdf_extractor_spark.streaming.curation import DOCUMENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .parquet(docs_dir)
+        .select(
+            F.format_string("doc_%09d", F.col("doc_id")).alias("doc_id"),
+            F.sha2(
+                F.concat(
+                    F.when(F.col("text").isNull(), F.lit("0")).otherwise(
+                        F.lit("1")
+                    ),
+                    F.coalesce(F.col("text"), F.lit("")),
+                ),
+                256,
+            ).alias("content_hash"),
+            F.col("n_chars").alias("size_bytes"),
+        )
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "unique"))
+        .option("checkpointLocation", os.path.join(output_dir, "_state_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 WINDOW_COUNTS_SCHEMA = StructType(
     [
         StructField("window_start", LongType()),

@@ -167,3 +167,32 @@ def test_streaming_curation_gates_match_batch_and_dedup_survives_restart(
     got2 = spark.read.parquet(os.path.join(out_dir, "curated"))
     assert got2.count() == got.count() + 1
     assert got2.where(F.col("doc_id") == 200).count() == 1
+
+
+def test_stream_stateful_batch_entry_dedups_replay(spark, sf_dir):
+    """The driver entry stages the documents file twice (a full duplicate
+    replay in one availableNow run): the dedup half must still emit exactly
+    one row per content hash with the min-doc_id representative, and the
+    window half only watermark-closed windows."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.pipeline_queries import stream_stateful_batch
+
+    out = stream_stateful_batch(spark, sf_dir).persist()
+    ded = out.where(F.col("part") == "dedup")
+    n_docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).count()
+    # every replayed duplicate dropped: one row per distinct text
+    assert ded.count() == ded.select("k1").distinct().count()
+    assert ded.count() <= n_docs
+    win = out.where(F.col("part") == "window")
+    assert win.count() > 0
+    # emitted windows are closed: end <= max(ts) - 10 min
+    mx = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .agg(F.max(F.unix_timestamp("ts")))
+        .collect()[0][0]
+    )
+    assert win.agg(F.max(F.col("k1").cast("long"))).collect()[0][0] + 300 <= mx - 600
+    out.unpersist()
