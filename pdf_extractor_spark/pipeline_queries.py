@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pdf_extractor_spark.queries import register, register_rows_only, t
+from pdf_extractor_spark.queries import register, t
 
 # md5-derived 32-bit unsigned int — identical in Spark and DuckDB.
 def _h32(col):  # Spark side
@@ -1181,18 +1181,16 @@ LSH_TABLES = 8
 LSH_BITS = 5
 
 
-@register_rows_only("sim_ann_lsh_topk")
-def sim_ann_lsh_topk(spark, sf_dir):
+def _lsh_topk(spark, sf_dir, k: int = 3):
     """Approximate NN via multi-table random-hyperplane LSH (the scale path):
     8 tables × 5-bit md5-seeded deterministic hyperplane codes; a point is a
     candidate if it shares a bucket with the query in ANY table (union →
     recall; more tables = higher recall, same per-table cost), then exact
-    cosine re-rank keeps top-3. Parameters measured on the synthetic
+    cosine re-rank keeps top-k. Parameters measured on the synthetic
     near-random embeddings (the hardest case for LSH — low neighbor
-    contrast): 8×5 gives ~22% candidate rate at 0.47 recall; a single fat
+    contrast): 8×5 gives ~22% candidate rate at 0.47 recall@3; a single fat
     code (1×8 bits) was recall-0. Clustered real embeddings sit far higher
-    on the same curve. Approximate ⇒ rows-only check; pytest asserts recall
-    vs the exact brute force (tests/test_similarity.py)."""
+    on the same curve."""
     e = t(spark, sf_dir, "embeddings")
     dim_df = e.limit(1).select(F.size("embedding").alias("d")).collect()
     dim = dim_df[0]["d"] if dim_df else 0
@@ -1234,9 +1232,87 @@ def sim_ann_lsh_topk(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
+        .where(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 F.round("cos", 3).alias("cos"), "rank")
+    )
+
+
+ANN_RECALL_K = 10
+# floors sit under the measured recall@10 with margin (float last-ulp
+# nondeterminism moves recall by ≲0.01): LSH measured 0.39 @ sf0.01 /
+# 0.57 @ sf0.1 on the near-random corpus (the low-contrast worst case for
+# hyperplane LSH — same 0.3 floor the pytest recall contract pins); IVF
+# measured 0.82 @ sf0.01 / 0.97 @ sf0.1
+LSH_RECALL_FLOOR = 0.3
+IVF_RECALL_FLOOR = 0.7
+
+
+def _exact_topk(spark, sf_dir, k: int, max_qid: int = 10):
+    """Exact per-query top-k (the ANN ground truth inside the recall
+    gates): broadcast query side, JVM zip_with cosine, window top-k with
+    the same deterministic (cos DESC, vec_id) tiebreak the ANN paths use."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < max_qid).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cos",
+        _emb_dot(F.col("q_emb"), F.col("embedding"))
+        / (_emb_norm(F.col("q_emb")) * _emb_norm(F.col("embedding"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def _ann_recall_gate(spark, sf_dir, ann_df, floor: float, k: int):
+    """recall@k vs the exact brute force, computed IN-PLAN (VERDICT r4
+    task #4: the hash-gated form of the approximate entries): left-join
+    truth pairs against the ANN pairs, aggregate hit fraction, compare to
+    the frozen floor. One summary row — fully declarative, no collect.
+
+    The boolean (not the raw recall) is frozen because last-ulp float
+    nondeterminism across partition orders can flip a near-tie rank and
+    move recall by 1/(k·queries); the floor carries enough margin that the
+    gate is stable (measured recall at both test SFs documented at the
+    floor constants)."""
+    truth = _exact_topk(spark, sf_dir, k)
+    hits = truth.join(
+        ann_df.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.lit(k).alias("k"),
+        (F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1)) >= floor).alias(
+            "recall_ok"
+        ),
+    )
+
+
+@register(
+    "sim_ann_lsh_topk",
+    f"SELECT CAST(10 AS BIGINT) AS n_queries, {ANN_RECALL_K} AS k, "
+    "TRUE AS recall_ok",
+)
+def sim_ann_lsh_topk(spark, sf_dir):
+    """LSH ANN under the driver hash gate: the full approximate pipeline
+    (_lsh_topk — 8×5-bit multi-table hyperplane codes, bucket equi-join,
+    exact re-rank) feeds an in-plan recall@10 computation against the
+    exact brute force; the output is the frozen summary row. Green hash =
+    'the ANN path ran end-to-end and its recall@10 cleared the 0.3 floor
+    on the hardest-case (near-random) corpus' — measured 0.39 at sf0.01 /
+    0.57 at sf0.1. Per-neighbor detail stays pinned by
+    tests/test_similarity.py on _lsh_topk directly."""
+    return _ann_recall_gate(
+        spark, sf_dir, _lsh_topk(spark, sf_dir, ANN_RECALL_K),
+        LSH_RECALL_FLOOR, ANN_RECALL_K,
     )
 
 
@@ -3097,17 +3173,15 @@ IVF_K = 16
 IVF_NPROBE = 2
 
 
-@register_rows_only("sim_ann_ivf_topk")
-def sim_ann_ivf_topk(spark, sf_dir):
+def _ivf_topk(spark, sf_dir, k: int = 3):
     """Approximate NN via IVF (inverted-file) clustering — the other scale
     path next to LSH: deterministic seed centroids (vec_id < K) refined by
     ONE k-means pass (assign → per-dimension mean, a single groupBy), every
     vector assigned to its nearest centroid's posting list, queries probe
-    the nprobe=2 nearest lists and exact-re-rank top-3. All JVM-side array
+    the nprobe=2 nearest lists and exact-re-rank top-k. All JVM-side array
     math; centroids are broadcast (K×dim floats). At 10^9+ vectors the
     posting lists are the partition layout — a query touches nprobe
-    partitions, never the full corpus. Approximate ⇒ rows-only check;
-    recall asserted in tests/test_similarity.py."""
+    partitions, never the full corpus."""
     import math
     import struct as _struct
 
@@ -3220,9 +3294,28 @@ def sim_ann_ivf_topk(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
+        .where(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 F.round("cos", 3).alias("cos"), "rank")
+    )
+
+
+@register(
+    "sim_ann_ivf_topk",
+    f"SELECT CAST(10 AS BIGINT) AS n_queries, {ANN_RECALL_K} AS k, "
+    "TRUE AS recall_ok",
+)
+def sim_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN under the driver hash gate (same structure as
+    sim_ann_lsh_topk): the full approximate pipeline (_ivf_topk —
+    memoized one-pass k-means centroids, posting-list join, nprobe=2
+    probe, exact re-rank) feeds the in-plan recall@10 vs brute force;
+    frozen summary row, floor 0.7 — measured 0.82 at sf0.01 / 0.97 at
+    sf0.1. Per-neighbor detail pinned by tests/test_similarity.py on
+    _ivf_topk directly."""
+    return _ann_recall_gate(
+        spark, sf_dir, _ivf_topk(spark, sf_dir, ANN_RECALL_K),
+        IVF_RECALL_FLOOR, ANN_RECALL_K,
     )
 
 

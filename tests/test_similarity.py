@@ -11,8 +11,10 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_lsh_recall_vs_bruteforce(spark):
+    from pdf_extractor_spark.pipeline_queries import _lsh_topk
+
     exact = q.all_queries()["sim_topk_bruteforce"](spark, SF).collect()
-    approx = q.all_queries()["sim_ann_lsh_topk"](spark, SF).collect()
+    approx = _lsh_topk(spark, SF, 3).collect()
     truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
     got = {(r["query_id"], r["neighbor_id"]) for r in approx}
     # single-table 8-bit LSH: recall over the shared query ids must be
@@ -23,6 +25,18 @@ def test_lsh_recall_vs_bruteforce(spark):
     g = {p for p in got if p[0] in shared_queries}
     recall = len(t & g) / len(t)
     assert recall >= 0.3, f"recall {recall:.2f} below floor"
+
+
+def test_ann_recall_gate_rows(spark):
+    """The registered ANN entries are now recall gates (r4 task #4): one
+    frozen summary row each, recall_ok TRUE at the registered floors."""
+    for name in ("sim_ann_lsh_topk", "sim_ann_ivf_topk"):
+        rows = q.all_queries()[name](spark, SF).collect()
+        assert len(rows) == 1, name
+        r = rows[0]
+        assert (r["n_queries"], r["k"], r["recall_ok"]) == (10, 10, True), (
+            name, r,
+        )
 
 
 def test_bruteforce_topk_properties(spark):
@@ -102,8 +116,10 @@ def test_lsh_pairs_subquadratic_in_clustered_regime(spark):
 
 
 def test_ivf_recall_vs_bruteforce(spark):
+    from pdf_extractor_spark.pipeline_queries import _ivf_topk
+
     exact = q.all_queries()["sim_topk_bruteforce"](spark, SF).collect()
-    approx = q.all_queries()["sim_ann_ivf_topk"](spark, SF).collect()
+    approx = _ivf_topk(spark, SF, 3).collect()
     truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
     got = {(r["query_id"], r["neighbor_id"]) for r in approx}
     shared = {qid for qid, _ in truth} & {qid for qid, _ in got}
