@@ -2475,6 +2475,13 @@ def _mix_hash_col():
 
 _PACK_BUDGET = 512  # tokens per training chunk
 _PACK_SHARDS = 8    # pack within (source, shard); raise with corpus size
+# pack_write's one text-bearing exchange carries the pre-split token array
+# (default — measured wall-clock winner on a single box) or the raw string
+# (SPARK_GRAFT_PACK_SHUFFLE=raw — 2.3x fewer shuffle bytes at the cost of
+# tokenizing twice; the right setting when shuffle bytes traverse a real
+# cluster NIC/disk). A/B tables in BENCH/NOTES.md "pack_write shuffle
+# payload (round 5)".
+_PACK_SHUFFLE_RAW = os.environ.get("SPARK_GRAFT_PACK_SHUFFLE", "array") == "raw"
 
 
 @register(
@@ -2597,20 +2604,42 @@ def corpus_pack_write(spark, sf_dir):
     second shuffle: its keys (source, shard, chunk_id) are a superset of
     the window's partitioning, so every chunk group is already co-located
     (EXPLAIN.md: Window → Generate → ObjectHashAggregate with a single
-    Exchange). The boundary cut (lo/hi + slice) is narrow, the chunk
+    Exchange). The exchange PAYLOAD is switchable (_PACK_SHUFFLE_RAW):
+    token array (default, single-box wall winner) vs raw string (2.3x
+    fewer shuffle bytes — set SPARK_GRAFT_PACK_SHUFFLE=raw when the
+    shuffle crosses a real cluster's NIC/disk). The boundary cut (lo/hi + slice) is narrow, the chunk
     fan-out per doc is ≤ n_tok/{B} + 1 rows, and chunk groups are ≤ {B}
     tokens by construction, so the reassembly agg has uniform, bounded
     buffers — no key skew is possible. Sharding bounds each window
     partition exactly as in the planner; chunks with no tokens (all-empty
     docs) never emit."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "source",
-        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
-        F.expr("filter(split(lower(coalesce(text, '')), ' '), w -> w != '')")
-        .alias("l"),
-    ).withColumn("n_tok", F.size("l").cast("bigint"))
+    tok_expr = "filter(split(lower(coalesce(text, '')), ' '), w -> w != '')"
+    if _PACK_SHUFFLE_RAW:
+        # shuffle the RAW text string, not the token array: a Tungsten
+        # array<string> row costs ~8 B of offset/size per element on top
+        # of the bytes, vs ~1 B/token of separators in the raw string —
+        # the one text-bearing exchange shrinks 2.3x (measured 339 vs
+        # 777 MB at 400k docs). n_tok is counted in-row BEFORE the
+        # exchange (the window sums it); the array is re-materialized
+        # AFTER, where the slicing needs it. Tokenize runs twice per doc,
+        # and on a single box (shuffle = page cache) that CPU loses to
+        # the byte saving by ~20% wall — hence NOT the default; it wins
+        # where shuffle bytes traverse a cluster NIC/disk. Full A/B:
+        # BENCH/NOTES.md "pack_write shuffle payload (round 5)".
+        toks = d.select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        ).withColumn("n_tok", F.size(F.expr(tok_expr)).cast("bigint"))
+    else:
+        toks = d.select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+            F.expr(tok_expr).alias("l"),
+        ).withColumn("n_tok", F.size("l").cast("bigint"))
     w = (
         Window.partitionBy("source", "shard")
         .orderBy("doc_id")
@@ -2619,6 +2648,8 @@ def corpus_pack_write(spark, sf_dir):
     c = toks.withColumn(
         "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint")
     )
+    if _PACK_SHUFFLE_RAW:
+        c = c.withColumn("l", F.expr(tok_expr)).drop("text")
     B = _PACK_BUDGET
     pieces = c.select(
         "source", "shard", "doc_id", "l", "n_tok", "cum_before",

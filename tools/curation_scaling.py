@@ -47,18 +47,25 @@ RUNS_LOG = os.path.join(REPO, "BENCH", "curation_runs.jsonl")
 _H32 = "cast(conv(substring(md5({0}), 1, 8), 16, 10) as bigint)"
 
 
-def gen_documents(spark, n_docs: int, out_path: str) -> None:
-    """documents-table-shaped corpus, one narrow SQL projection per row."""
+def gen_documents(spark, n_docs: int, out_path: str, dup_mod: int = 10) -> None:
+    """documents-table-shaped corpus, one narrow SQL projection per row.
+    Every ``dup_mod``-th doc near-duplicates the doc ``dup_mod - 1`` ids
+    earlier — dup_mod=10 is the default 10%-dup corpus; dup_mod=2 is the
+    dup-heavy (50% near-dup) corpus for the unhinted-broadcast leg
+    (VERDICT r4 task #5: `picks` at corpus scale, not dim scale)."""
     from pyspark.sql import functions as F
 
-    seed = "CASE WHEN id % 10 = 9 THEN id - 9 ELSE id END"
+    seed = f"CASE WHEN id % {dup_mod} = {dup_mod - 1} THEN id - {dup_mod - 1} ELSE id END"
     n_words = f"150 + ({seed}) % 250"
     pick = _H32.format(f"concat({seed}, ':', i)")
     body = (
         f"array_join(transform(sequence(1, {n_words}), "
         f"i -> concat('w', ({pick}) % 256)), ' ')"
     )
-    text = f"CASE WHEN id % 10 = 9 THEN concat({body}, ' dupmark', id) ELSE {body} END"
+    text = (
+        f"CASE WHEN id % {dup_mod} = {dup_mod - 1} "
+        f"THEN concat({body}, ' dupmark', id) ELSE {body} END"
+    )
     df = spark.range(0, n_docs, numPartitions=128).select(
         F.col("id").alias("doc_id"),
         F.expr(text).alias("text"),
@@ -68,11 +75,12 @@ def gen_documents(spark, n_docs: int, out_path: str) -> None:
     df.write.mode("overwrite").parquet(os.path.join(out_path, "documents.parquet"))
 
 
-def ensure_corpus(spark, n_docs: int) -> str:
-    path = os.path.join(CACHE, f"n{n_docs}")
+def ensure_corpus(spark, n_docs: int, dup_mod: int = 10) -> str:
+    suffix = "" if dup_mod == 10 else f"_dup{dup_mod}"
+    path = os.path.join(CACHE, f"n{n_docs}{suffix}")
     marker = os.path.join(path, "documents.parquet", "_SUCCESS")
     if not os.path.exists(marker):
-        gen_documents(spark, n_docs, path)
+        gen_documents(spark, n_docs, path, dup_mod=dup_mod)
     return path
 
 
@@ -84,7 +92,8 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def run_leg(cpus: int, n_docs: int, cluster: bool = False) -> dict:
+def run_leg(cpus: int, n_docs: int, cluster: bool = False,
+            dup_mod: int = 10) -> dict:
     from pdf_extractor_spark.pipeline import build_session
     from pdf_extractor_spark.pipeline_queries import corpus_curation_record
 
@@ -102,7 +111,7 @@ def run_leg(cpus: int, n_docs: int, cluster: bool = False) -> dict:
         app_name=f"curation-scaling-{cpus}",
     )
     spark.sparkContext.setLogLevel("ERROR")
-    sf_dir = ensure_corpus(spark, n_docs)
+    sf_dir = ensure_corpus(spark, n_docs, dup_mod=dup_mod)
     # Size scan splits to the corpus (same rationale as bench.py): the
     # ~140 MB local corpus otherwise bin-packs into ~2 default-128MB
     # splits, serializing every narrow stage on 2 tasks at ANY core count
@@ -125,11 +134,15 @@ def run_leg(cpus: int, n_docs: int, cluster: bool = False) -> dict:
         best = elapsed if best is None else min(best, elapsed)
         spark.catalog.clearCache()
     spark.stop()
+    import pdf_extractor_spark.pipeline_queries as _pqmod
+
     row = {
         "op": "corpus_curation_record", "n_docs": n_docs, "cpus": cpus,
         "shuffle_partitions": sp,
         "seconds": round(best, 3), "docs_per_sec": round(n_docs / best, 2),
         "legs": legs,
+        "dup_mod": dup_mod,
+        "broadcast_row_limit": _pqmod._BROADCAST_ROW_LIMIT,
     }
     if cluster:
         row["executors"] = cpus // CLUSTER_CORES_PER_EXEC
@@ -183,10 +196,22 @@ def main() -> None:
     ap.add_argument("--cluster", action="store_true")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--n-docs", type=int, default=N_DOCS)
+    ap.add_argument(
+        "--dup-mod", type=int, default=10,
+        help="every dup_mod-th doc near-duplicates an earlier one "
+             "(10 = 10%% dups; 2 = the 50%%-dup-heavy corpus)",
+    )
+    ap.add_argument(
+        "--unhinted", action="store_true",
+        help="force SPARK_GRAFT_BROADCAST_ROWS=0 in the timed legs: every "
+             "size-gated broadcast hint is stripped and the AQE shuffle-join "
+             "fallback path is what gets measured (VERDICT r4 task #5)",
+    )
     args = ap.parse_args()
 
     if args.leg:
-        print(json.dumps(run_leg(args.cpus, args.n_docs, cluster=args.cluster)))
+        print(json.dumps(run_leg(args.cpus, args.n_docs, cluster=args.cluster,
+                                 dup_mod=args.dup_mod)))
         return
 
     # materialize the corpus once (any session), then time each leg in a
@@ -195,8 +220,12 @@ def main() -> None:
 
     spark = build_session(master="local[16]", app_name="curation-gen")
     spark.sparkContext.setLogLevel("ERROR")
-    ensure_corpus(spark, args.n_docs)
+    ensure_corpus(spark, args.n_docs, dup_mod=args.dup_mod)
     spark.stop()
+
+    leg_env = dict(os.environ)
+    if args.unhinted:
+        leg_env["SPARK_GRAFT_BROADCAST_ROWS"] = "0"
 
     if args.cluster:
         # multi-EXECUTOR legs: the same 8-vs-32-core octave as the thread
@@ -235,8 +264,9 @@ def main() -> None:
         out = subprocess.run(
             ["taskset", "-c", f"0-{cpus - 1}",
              sys.executable, os.path.abspath(__file__), "--leg",
-             "--cpus", str(cpus), "--n-docs", str(args.n_docs)],
-            capture_output=True, text=True, check=True,
+             "--cpus", str(cpus), "--n-docs", str(args.n_docs),
+             "--dup-mod", str(args.dup_mod)],
+            capture_output=True, text=True, check=True, env=leg_env,
         )
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
         with open(RUNS_LOG, "a") as f:
