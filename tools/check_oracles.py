@@ -3,6 +3,14 @@ on Spark and its oracle_sql() on DuckDB over the same sf dir, compare
 row-count + sorted-column value multiset. Usage:
 
     python tools/check_oracles.py [sf_dir] [query ...]
+
+Known parity caveat (ADVICE r4): dedup_minhash_bands, dedup_ngram_jaccard
+and corpus_decontaminate key their Spark-side shuffles on 64-bit xxhash64
+of tuples/grams while the DuckDB oracles keep exact string keys, so parity
+is exact only up to a 64-bit collision between NON-equal keys (~n²/2⁶⁴ —
+immaterial at any tested scale). If one of those three entries ever
+mismatches on a new corpus with no code change, check for a hash collision
+before debugging the operators.
 """
 
 from __future__ import annotations

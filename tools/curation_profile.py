@@ -28,7 +28,14 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=400000)
     args = ap.parse_args()
 
-    from curation_scaling import ensure_corpus  # same corpus as the legs
+    try:
+        # script invocation (python tools/curation_profile.py): the script
+        # dir is on sys.path
+        from curation_scaling import ensure_corpus  # same corpus as the legs
+    except ImportError:
+        # module invocation (python -m tools.curation_profile) or import
+        # from elsewhere: resolve via the repo root (ADVICE r4 #2)
+        from tools.curation_scaling import ensure_corpus
     from pdf_extractor_spark.pipeline import build_session
     import pdf_extractor_spark.pipeline_queries as pq
 
