@@ -1449,38 +1449,22 @@ def tokenize_pdf(data: bytes) -> Dict[str, Any]:
     — indistinguishable from genuinely blank. Now the result is a typed
     doc-level fallback: ``encrypted: True`` plus one ``kind='unparsed'``
     span covering the page, so downstream curation can count/route these
-    instead of treating them as empty.
+    instead of treating them as empty. The /Encrypt probe is LAZY — it
+    runs only when tokenization produced zero spans (ciphertext streams
+    either fail their filters or yield no valid operators), so the common
+    unencrypted-with-content doc pays nothing; the measured eager
+    alternative cost ~0.4 ms/MB of full-buffer regex on EVERY doc, ~10%
+    of the kernel's per-doc budget.
     """
     empty = {"page_width": 0.0, "page_height": 0.0, "spans": []}
     if not data or not data.startswith(b"%PDF"):
         return empty
-    if _ENCRYPT_RE.search(data) is not None:
-        # the key shape `/Encrypt N 0 R` (or inline dict) only appears as a
-        # trailer key in practice; a literal hit inside an (uncompressed)
-        # content stream is theoretically possible but would merely demote
-        # that doc to the typed fallback, never corrupt text
-        pw, ph = 612.0, 792.0
-        try:
-            objects = _scan_objects(data)
-            page = _first_page(objects)
-            if page is not None:
-                pw, ph = _media_box(objects[page][0], objects)
-        except Exception:
-            pass
-        return {
-            "page_width": pw,
-            "page_height": ph,
-            "encrypted": True,
-            "spans": [{
-                "kind": "unparsed", "text": "", "media_ref": None,
-                "x0": 0.0, "y0": 0.0, "x1": pw, "y1": ph, "size": 0.0,
-            }],
-        }
+    pw = ph = 0.0
     try:
         objects = _scan_objects(data)
         page = _first_page(objects)
         if page is None:
-            return empty
+            return _maybe_encrypted(data, empty, 612.0, 792.0)
         page_dict = objects[page][0]
         pw, ph = _media_box(page_dict, objects)
         images = _image_xobjects(page_dict, objects)
@@ -1489,7 +1473,9 @@ def tokenize_pdf(data: bytes) -> Dict[str, Any]:
         if not content:
             if rot in (90, 270):
                 pw, ph = ph, pw
-            return {"page_width": pw, "page_height": ph, "spans": []}
+            return _maybe_encrypted(
+                data, {"page_width": pw, "page_height": ph, "spans": []}, pw, ph
+            )
         spans = _run_content(
             content,
             images,
@@ -1497,6 +1483,32 @@ def tokenize_pdf(data: bytes) -> Dict[str, Any]:
             _form_xobjects(page_dict, objects),
         )
         spans, pw, ph = _apply_rotation(spans, rot, pw, ph)
+        if not spans:
+            return _maybe_encrypted(
+                data, {"page_width": pw, "page_height": ph, "spans": []}, pw, ph
+            )
         return {"page_width": pw, "page_height": ph, "spans": spans}
     except Exception:
-        return empty
+        return _maybe_encrypted(data, empty, pw or 612.0, ph or 792.0)
+
+
+def _maybe_encrypted(data: bytes, fallthrough: Dict[str, Any],
+                     pw: float, ph: float) -> Dict[str, Any]:
+    """Span-less outcome: decide between 'genuinely blank/unparseable'
+    (return ``fallthrough`` unchanged) and 'encrypted' (typed doc-level
+    fallback). The key shape ``/Encrypt N 0 R`` (or inline dict) only
+    appears as a trailer key in practice; a literal hit inside an
+    (uncompressed) content stream would merely demote that doc to the
+    typed fallback, never corrupt text — and only span-less docs ever
+    reach this probe."""
+    if _ENCRYPT_RE.search(data) is None:
+        return fallthrough
+    return {
+        "page_width": pw,
+        "page_height": ph,
+        "encrypted": True,
+        "spans": [{
+            "kind": "unparsed", "text": "", "media_ref": None,
+            "x0": 0.0, "y0": 0.0, "x1": pw, "y1": ph, "size": 0.0,
+        }],
+    }
