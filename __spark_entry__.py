@@ -2,9 +2,11 @@
 
 ``entry`` runs the flagship span+quality pipeline on sf0.001;
 ``queries``/``oracle_sql`` expose every implemented operator from
-SURVEY.md §2 plus the training-data pipeline ops, each with a DuckDB oracle
-where SQL-expressible (see pdf_extractor_spark/queries.py and
-pipeline_queries.py — the registry keeps each Spark/SQL pair side by side).
+SURVEY.md §2 plus the training-data pipeline ops — as of round 5 ALL 50
+entries carry a DuckDB oracle (the two approximate-ANN entries are
+in-plan recall@10 gates against the exact brute force, frozen VALUES
+oracles; see pdf_extractor_spark/queries.py and pipeline_queries.py —
+the registry keeps each Spark/SQL pair side by side).
 """
 
 from __future__ import annotations
