@@ -1306,15 +1306,17 @@ def _font_encodings(page_dict: bytes, objects) -> Dict[str, Any]:
             elif enc_raw is not None:
                 # predefined (named) CMap — PDF 32000-1 §9.7.5.2 table 118
                 nm = _ENC_NAME_RE.match(enc_raw.lstrip())
-                if nm is not None:
-                    if _UNICODE_CMAP_RE.match(nm.group(1)):
-                        # Uni*-UCS2/UTF16: codes ARE Unicode → exact decode
-                        out[name] = UnicodeCMapEncoding()
-                    else:
-                        # any other predefined CMap (GBK-EUC-H, 90ms-RKSJ-H,
-                        # B5pc-H, …): needs Adobe CID tables we don't ship
-                        # → typed kind='unparsed' degradation
-                        out[name] = UnknownCIDEncoding()
+                if nm is not None and _UNICODE_CMAP_RE.match(nm.group(1)):
+                    # Uni*-UCS2/UTF16: codes ARE Unicode → exact decode
+                    out[name] = UnicodeCMapEncoding()
+                else:
+                    # any other Type0 /Encoding without usable /ToUnicode:
+                    # another predefined CMap (GBK-EUC-H, 90ms-RKSJ-H,
+                    # B5pc-H, …) or an EMBEDDED CMap stream ref (N 0 R) —
+                    # either way code→CID→Unicode needs tables we don't
+                    # hold → typed kind='unparsed' degradation (position
+                    # preserved), never the silent hex-guard suppression
+                    out[name] = UnknownCIDEncoding()
     return out
 
 

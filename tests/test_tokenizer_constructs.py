@@ -716,3 +716,17 @@ def test_runlength_decoder_edges():
     assert _runlength_decode(b"\x02abc") == b"abc"         # tolerated: no EOD
     assert _runlength_decode(b"\x05ab") is None            # truncated literal
     assert _runlength_decode(b"\xfe") is None              # truncated repeat
+
+
+def test_type0_embedded_cmap_stream_degrades_to_typed_unparsed():
+    # /Encoding pointing at an EMBEDDED CMap stream (code->CID, not
+    # ->Unicode) with no /ToUnicode: can't recover text, must surface as
+    # typed unparsed — not silent hex-guard suppression
+    cmap = _tounicode_obj(12, b"%!PS-Adobe-3.0 Resource-CMap\nbegincmap\nendcmap")
+    font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/HHHHHH+Sub "
+            b"/Encoding 12 0 R >> endobj")
+    ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <01020304> Tj ET"
+    pdf = _pdf_with_font(ops, [font, cmap], b"/F1 10 0 R")
+    result = tokenize_pdf(pdf)
+    assert _texts(result) == []
+    assert [s["kind"] for s in result["spans"]] == ["unparsed"]
