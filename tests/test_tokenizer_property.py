@@ -508,3 +508,37 @@ def test_identity_h_gate_false_positive_rate_pinned():
     # gate (the all-letters-with-a-vowel corner). Pin with ~10x headroom:
     # > 0.5% means the gate was materially loosened.
     assert leaked / trials < 0.005, leaked
+
+
+# --- crawl-robustness fuzz: never raise on arbitrary bytes ------------------
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=400, deadline=None)
+def test_tokenize_pdf_never_raises_on_arbitrary_bytes(data):
+    """A crawl corpus contains truncated, corrupted and mislabeled files;
+    the kernel's contract is 'never raises — unparseable yields an empty
+    span list (or the typed encrypted fallback)'. Pure-random bytes, with
+    and without the %PDF magic prepended, must always return the dict
+    shape."""
+    from pdf_extractor_spark.pdf.tokenizer import tokenize_pdf
+
+    for blob in (data, b"%PDF-1.4\n" + data):
+        out = tokenize_pdf(blob)
+        assert set(out) >= {"page_width", "page_height", "spans"}
+        assert isinstance(out["spans"], list)
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_tokenize_any_never_raises_and_assembles(data):
+    """The dispatcher + assembly stage under the same fuzz: any bytes
+    (PDF-magic, HTML-ish, or garbage) must tokenize and assemble into the
+    public span schema without raising."""
+    from pdf_extractor_spark.tokenize_dispatch import assemble_doc, tokenize_any
+
+    for blob in (data, b"%PDF" + data, b"<html><body>" + data):
+        doc = assemble_doc(tokenize_any(blob))
+        assert isinstance(doc["spans"], list)
+        for s in doc["spans"]:
+            assert s["kind"] in ("text", "media", "unparsed")
