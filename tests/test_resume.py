@@ -184,3 +184,44 @@ def test_unparsed_span_metric_counts_identity_h_runs(spark, tmp_path):
     out_dir = str(tmp_path / "out")
     stats = run_extraction_job(spark, docs_path, out_dir, run_id="u", partitions=2)
     assert stats["metrics"]["unparsed_spans"] == 1
+
+
+def test_general_corpus_docs_flow_through_distributed_pipeline(spark, tmp_path):
+    """r5 tokenizer additions under the DISTRIBUTED pipeline (not just the
+    unit kernel): a CJK predefined-UCS2-CMap PDF, an encrypted PDF and a
+    plain doc run through run_extraction_job together — the CJK text
+    decodes, the encrypted doc surfaces as exactly one typed unparsed
+    span, and nothing is dropped."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.schema import RAW_DOC_SCHEMA
+    from tests.test_tokenizer_constructs import (
+        _encrypted_pdf, _pdf, _pdf_with_font, BASIC,
+    )
+
+    cjk_font = (b"10 0 obj << /Type/Font /Subtype/Type0 /BaseFont/STSong "
+                b"/Encoding/UniGB-UCS2-H >> endobj")
+    cjk_ops = b"BT /F1 10 Tf 1 0 0 1 50 700 Tm <4F60597D> Tj ET"
+    rows = [
+        ("cjk.pdf", _pdf_with_font(cjk_ops, [cjk_font], b"/F1 10 0 R"),
+         "application/pdf", "t", {}, 1),
+        ("enc.pdf", _encrypted_pdf(), "application/pdf", "t", {}, 1),
+        ("plain.pdf", _pdf(BASIC), "application/pdf", "t", {}, 1),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(rows, RAW_DOC_SCHEMA).write.parquet(docs_dir)
+    stats = run_extraction_job(spark, docs_dir, out_dir, run_id="g", partitions=2)
+    assert stats["docs"] == 3
+    spans = spark.read.parquet(os.path.join(out_dir, "spans"))
+    got = {
+        r["doc_id"]: r
+        for r in spans.select(
+            "doc_id", "span_count",
+            F.expr("filter(spans, s -> s.kind = 'unparsed')").alias("unp"),
+            F.expr("transform(spans, s -> s.text)").alias("texts"),
+        ).collect()
+    }
+    assert "你好" in "".join(got["cjk.pdf"]["texts"])
+    assert got["enc.pdf"]["span_count"] == 1 and len(got["enc.pdf"]["unp"]) == 1
+    assert any("hello" in t for t in got["plain.pdf"]["texts"])
