@@ -68,18 +68,25 @@ def best_by_cpus(n_docs: int) -> dict:
 
 def _latest_sweep(n_docs: int = N_DOCS) -> dict:
     """Trailing back-to-back sweep: walk runs.jsonl in reverse collecting the
-    most recent run per core count, stopping at the first repeated core count
-    (an earlier sweep's leg). Keeps the fit on one machine-state epoch."""
+    best run per core count, stopping at the first NON-ADJACENT repeat of a
+    core count (an earlier sweep's leg). Adjacent repeats are SCALING_REPEATS
+    legs of the same sweep and merge to their best — the pre-r5 rule stopped
+    at ANY repeat, which collapsed a REPEATS=2 sweep's envelope to one row.
+    Keeps the fit on one machine-state epoch."""
     if not os.path.exists(RUNS_PATH):
         return {}
     sweep: dict = {}
+    prev_cpus = None
     for line in reversed(list(open(RUNS_PATH))):
         r = json.loads(line)
         if r["n_docs"] != n_docs:
             continue
-        if r["cpus"] in sweep:
+        if r["cpus"] in sweep and r["cpus"] != prev_cpus:
             break
-        sweep[r["cpus"]] = r
+        cur = sweep.get(r["cpus"])
+        if cur is None or r["docs_per_sec"] > cur["docs_per_sec"]:
+            sweep[r["cpus"]] = r
+        prev_cpus = r["cpus"]
     return sweep
 
 
